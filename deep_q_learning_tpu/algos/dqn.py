@@ -1,0 +1,175 @@
+"""DQN learner: train state, optimizer builder, update step, ε schedules.
+
+Replaces the reference's ``generate_train_step``
+(``/root/reference/General/QLearning/q_learning_functions.py:14-28``) and the
+host-side pieces of ``Agent`` (``q_agent.py``): ε-greedy policy
+(``q_agent.py:137-141`` — host ``random.uniform``), per-episode ε decay
+(``q_agent.py:120-121``), and hard target sync (``q_agent.py:143-144``).
+Everything here is a pure function on a :class:`TrainState` pytree so the
+whole learner fuses into the jitted superstep — zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from deep_q_learning_tpu.config import DQNConfig
+from deep_q_learning_tpu.envs.base import Transition
+from deep_q_learning_tpu.algos.losses import build_loss_fn
+
+
+@struct.dataclass
+class TrainState:
+    """Learner state: online/target params, optimizer state, update counter.
+
+    The reference scatters these across ``Agent`` attributes
+    (``q_agent.py:88-114``); as one pytree they can be donated, checkpointed,
+    and replicated across the mesh atomically."""
+
+    params: Any
+    target_params: Any
+    opt_state: Any
+    updates: jax.Array  # int32: number of gradient updates applied
+
+
+def make_optimizer(cfg: DQNConfig) -> optax.GradientTransformation:
+    """Optimizer from config (ref uses adamw lr 2e-4, Test/lunar_lander.py:49;
+    the HPO script uses adam lr 1e-4, Test/lunar_lander_hyper_params.py:41)."""
+    if cfg.optimizer == "adamw":
+        tx = optax.adamw(cfg.learning_rate)
+    elif cfg.optimizer == "adam":
+        tx = optax.adam(cfg.learning_rate)
+    elif cfg.optimizer == "rmsprop":
+        tx = optax.rmsprop(cfg.learning_rate)
+    elif cfg.optimizer == "sgd":
+        tx = optax.sgd(cfg.learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.max_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+    return tx
+
+
+def init_train_state(
+    network, optimizer: optax.GradientTransformation, key: jax.Array, obs_dim: int
+) -> TrainState:
+    dummy = jnp.zeros((1, obs_dim), jnp.float32)
+    params = network.init(key, dummy)
+    # Distinct buffers for target_params: the runner pytree is donated every
+    # superstep, and XLA rejects donating the same buffer twice.
+    target_params = jax.tree.map(jnp.copy, params)
+    return TrainState(
+        params=params,
+        target_params=target_params,
+        opt_state=optimizer.init(params),
+        updates=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ε-greedy policy + schedules (fully on device)
+# ---------------------------------------------------------------------------
+
+def epsilon_by_schedule(
+    cfg: DQNConfig, env_steps: jax.Array, episodes: jax.Array
+) -> jax.Array:
+    """Exploration rate as a pure function of progress counters.
+
+    "exp_episode" reproduces the reference's per-episode multiplicative decay
+    with floor ``ε = max(ε0·decay^episodes, ε_min)`` (q_agent.py:120-121 —
+    applied once per episode there; expressed in closed form here so it needs
+    no mutable host state).  "linear_step" is the standard per-env-step linear
+    schedule for large vectorized runs."""
+    if cfg.eps_schedule == "exp_episode":
+        eps = cfg.eps_start * cfg.eps_decay ** episodes.astype(jnp.float32)
+        return jnp.maximum(eps, cfg.eps_min)
+    elif cfg.eps_schedule == "linear_step":
+        frac = jnp.clip(env_steps.astype(jnp.float32) / cfg.eps_decay_steps, 0.0, 1.0)
+        return cfg.eps_start + frac * (cfg.eps_min - cfg.eps_start)
+    else:
+        raise ValueError(f"unknown eps_schedule {cfg.eps_schedule!r}")
+
+
+def epsilon_greedy(
+    key: jax.Array, q_values: jax.Array, epsilon: jax.Array
+) -> jax.Array:
+    """Batched ε-greedy on device (replaces host RNG at q_agent.py:137-141)."""
+    n, num_actions = q_values.shape
+    explore_key, action_key = jax.random.split(key)
+    greedy = jnp.argmax(q_values, axis=-1)
+    random_actions = jax.random.randint(action_key, (n,), 0, num_actions)
+    explore = jax.random.uniform(explore_key, (n,)) < epsilon
+    return jnp.where(explore, random_actions, greedy).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Gradient update
+# ---------------------------------------------------------------------------
+
+def build_update_step(
+    apply_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    cfg: DQNConfig,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    """Returns ``update(ts, batch, weights) -> (ts, loss, td_errors)``.
+
+    When ``axis_name`` is set (shard_map over the "env" mesh axis), gradients
+    and the loss are ``pmean``-ed across shards so the replicated learner
+    stays bit-identical on every device — the ICI all-reduce of the design
+    (SURVEY.md §5.8)."""
+    loss_fn = build_loss_fn(
+        apply_fn,
+        gamma=cfg.gamma,
+        double=cfg.double,
+        loss=cfg.loss,
+        huber_delta=cfg.huber_delta,
+        ref_terminal_quirk=cfg.ref_terminal_quirk,
+        truncation_bootstrap=cfg.truncation_bootstrap,
+    )
+
+    if cfg.use_pallas:
+        # Fused Pallas TD+loss path; same interface, custom VJP inside.
+        from deep_q_learning_tpu.ops.td_kernels import build_pallas_loss_fn
+
+        loss_fn = build_pallas_loss_fn(
+            apply_fn,
+            gamma=cfg.gamma,
+            double=cfg.double,
+            huber_delta=cfg.huber_delta,
+            truncation_bootstrap=cfg.truncation_bootstrap,
+        )
+
+    def update(
+        ts: TrainState, batch: Transition, weights: jax.Array
+    ) -> Tuple[TrainState, jax.Array, jax.Array]:
+        (loss, td_err), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, ts.target_params, batch, weights
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        return (
+            TrainState(
+                params=params,
+                target_params=ts.target_params,
+                opt_state=opt_state,
+                updates=ts.updates + 1,
+            ),
+            loss,
+            td_err,
+        )
+
+    return update
+
+
+def sync_target(ts: TrainState) -> TrainState:
+    """Hard target-network copy (ref ``q_agent.py:143-144``)."""
+    return ts.replace(target_params=ts.params)

@@ -1,0 +1,295 @@
+"""The fused actor-learner "superstep" — the heart of the TPU-native design.
+
+The reference interleaves host Python between every environment step and
+crosses the host<->device boundary four times per training step
+(SURVEY.md §3.1-3.2: ``q_agent.py:171-207`` drives gym on the host, then calls
+four separately-jitted functions).  Here the *entire* inner loop — K vector
+env steps, ε-greedy action selection, replay writes, gradient updates, target
+sync, and metric accumulation — is ONE jitted function built around
+``lax.fori_loop``: zero host round-trips per step, state donated between
+calls, and every cadence (train_every, target sync) expressed as
+``lax.cond`` on device counters.
+
+Episode accounting is also on device: per-env running returns, a ring window
+of the last W completed episode returns (the reference's 50-episode average,
+``q_agent.py:123-126``), and a ``solved`` flag the host polls once per
+superstep (``q_agent.py:219-222``'s termination check, at superstep cadence).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from deep_q_learning_tpu.config import DQNConfig
+from deep_q_learning_tpu.envs.base import Transition, VectorEnv
+from deep_q_learning_tpu.replay.uniform import ReplayState, UniformReplay
+from deep_q_learning_tpu.algos.dqn import (
+    TrainState,
+    build_update_step,
+    epsilon_by_schedule,
+    epsilon_greedy,
+    init_train_state,
+    sync_target,
+)
+
+
+@struct.dataclass
+class RunnerState:
+    """Everything the training loop owns, as one donatable pytree."""
+
+    train: TrainState
+    env_states: Any  # vmapped env state, leaves (N, ...)
+    obs: jax.Array  # (N, D) current observations
+    replay: ReplayState
+    rng: jax.Array
+    env_step: jax.Array  # int32: vector steps taken (aggregate steps = *N)
+    episodes: jax.Array  # int32: completed episodes
+    last_sync_episodes: jax.Array  # int32: episodes count at last target sync
+    ep_return: jax.Array  # (N,) float32 running return per env
+    ep_length: jax.Array  # (N,) int32 running length per env
+    return_window: jax.Array  # (W,) float32 ring of completed returns
+    window_cursor: jax.Array  # int32
+    window_filled: jax.Array  # int32
+
+
+@struct.dataclass
+class SuperstepMetrics:
+    env_steps: jax.Array  # VECTOR steps so far (aggregate = env_steps * num_envs)
+    episodes: jax.Array  # completed episodes so far
+    episodes_delta: jax.Array  # completed during this superstep
+    return_sum_delta: jax.Array  # sum of returns completed this superstep
+    loss_sum: jax.Array
+    loss_count: jax.Array
+    window_mean: jax.Array  # mean of last-W completed episode returns
+    epsilon: jax.Array
+    solved: jax.Array  # bool: window full and mean >= threshold
+
+
+def _scatter_completed_returns(
+    window: jax.Array,
+    cursor: jax.Array,
+    filled: jax.Array,
+    done: jax.Array,
+    returns: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Write the returns of all envs that finished this step into the ring
+    window (multiple completions per vector step supported: each finished env
+    gets its rank-among-finished as an offset from the cursor)."""
+    w = window.shape[0]
+    rank = jnp.cumsum(done.astype(jnp.int32)) - 1
+    idx = jnp.where(done, (cursor + rank) % w, w)  # w = out of bounds -> drop
+    window = window.at[idx].set(returns, mode="drop")
+    num_done = jnp.sum(done.astype(jnp.int32))
+    cursor = (cursor + num_done) % w
+    filled = jnp.minimum(filled + num_done, w)
+    return window, cursor, filled
+
+
+def build_superstep(
+    venv: VectorEnv,
+    env_params: Any,
+    network,
+    optimizer,
+    replay: UniformReplay,
+    cfg: DQNConfig,
+    axis_name: Optional[str] = None,
+) -> Tuple[Callable, Callable]:
+    """Build ``(init_runner, superstep)``.
+
+    ``init_runner(key) -> RunnerState`` and
+    ``superstep(runner) -> (runner, SuperstepMetrics)`` are pure; the caller
+    jits (and optionally shard_maps) ``superstep`` with donated runner state.
+    """
+    update = build_update_step(network.apply, optimizer, cfg, axis_name=axis_name)
+    num_envs = venv.num_envs
+    (obs_dim,) = venv.obs_shape(env_params)
+
+    def init_runner(key: jax.Array) -> RunnerState:
+        net_key, env_key, rng = jax.random.split(key, 3)
+        train = init_train_state(network, optimizer, net_key, obs_dim)
+        obs, env_states = venv.reset(env_key, env_params)
+        example = Transition(
+            obs=obs,
+            action=jnp.zeros((num_envs,), jnp.int32),
+            reward=jnp.zeros((num_envs,), jnp.float32),
+            next_obs=obs,
+            terminated=jnp.zeros((num_envs,), bool),
+            truncated=jnp.zeros((num_envs,), bool),
+        )
+        return RunnerState(
+            train=train,
+            env_states=env_states,
+            obs=obs,
+            replay=replay.init(example),
+            rng=rng,
+            env_step=jnp.int32(0),
+            episodes=jnp.int32(0),
+            last_sync_episodes=jnp.int32(0),
+            ep_return=jnp.zeros((num_envs,), jnp.float32),
+            ep_length=jnp.zeros((num_envs,), jnp.int32),
+            return_window=jnp.zeros((cfg.return_window,), jnp.float32),
+            window_cursor=jnp.int32(0),
+            window_filled=jnp.int32(0),
+        )
+
+    def _maybe_train(
+        rng: jax.Array, train: TrainState, rstate: ReplayState, env_step: jax.Array
+    ) -> Tuple[TrainState, jax.Array, jax.Array]:
+        """cfg.updates_per_step gradient updates, gated on cadence + warmup
+        (ref gate: ``step % train_frequency == 0 and buffer.size >=
+        training_start``, q_agent.py:186-187)."""
+        do_train = jnp.logical_and(
+            env_step % cfg.train_every == 0,
+            replay.can_sample(rstate, cfg.training_start),
+        )
+
+        def run_updates(args):
+            rng, train = args
+
+            def one(u, carry):
+                rng, train, loss_sum = carry
+                rng, sample_key = jax.random.split(rng)
+                batch = replay.sample(rstate, sample_key, cfg.batch_size)
+                weights = jnp.ones((cfg.batch_size,), jnp.float32)
+                train, loss, _ = update(train, batch, weights)
+                return rng, train, loss_sum + loss
+
+            rng, train, loss_sum = jax.lax.fori_loop(
+                0, cfg.updates_per_step, one, (rng, train, jnp.float32(0.0))
+            )
+            return train, loss_sum, jnp.float32(cfg.updates_per_step)
+
+        def skip(args):
+            _, train = args
+            return train, jnp.float32(0.0), jnp.float32(0.0)
+
+        return jax.lax.cond(do_train, run_updates, skip, (rng, train))
+
+    def _maybe_sync(runner_train, episodes, last_sync, env_step):
+        """Hard target sync on the configured cadence (ref: every
+        ``replace_frequency`` episodes, q_agent.py:192-193)."""
+        if cfg.target_sync_mode == "steps":
+            do_sync = env_step % cfg.target_sync_every == 0
+            new_last = last_sync
+        elif cfg.target_sync_mode == "episodes":
+            k = cfg.target_replace_episodes
+            do_sync = (episodes // k) > (last_sync // k)
+            new_last = jnp.where(do_sync, episodes, last_sync)
+        else:
+            raise ValueError(f"unknown target_sync_mode {cfg.target_sync_mode!r}")
+        train = jax.lax.cond(do_sync, sync_target, lambda t: t, runner_train)
+        return train, new_last
+
+    def superstep(runner: RunnerState) -> Tuple[RunnerState, SuperstepMetrics]:
+        def body(i, carry):
+            runner, loss_sum, loss_count, ep_delta, ret_delta = carry
+            rng, action_key, env_key, train_key = jax.random.split(runner.rng, 4)
+
+            # --- actor: ε-greedy on device --------------------------------
+            eps = epsilon_by_schedule(
+                cfg, runner.env_step.astype(jnp.float32) * num_envs, runner.episodes
+            )
+            q_values = network.apply(runner.train.params, runner.obs)
+            actions = epsilon_greedy(action_key, q_values, eps)
+
+            # --- env: vector step with in-graph auto-reset ----------------
+            obs, env_states, transition = venv.step(
+                env_key, runner.env_states, actions, env_params
+            )
+            rstate = replay.add(runner.replay, transition)
+
+            # --- episode accounting ---------------------------------------
+            done = jnp.logical_or(transition.terminated, transition.truncated)
+            ep_return = runner.ep_return + transition.reward
+            ep_length = runner.ep_length + 1
+            window, cursor, filled = _scatter_completed_returns(
+                runner.return_window,
+                runner.window_cursor,
+                runner.window_filled,
+                done,
+                ep_return,
+            )
+            num_done = jnp.sum(done.astype(jnp.int32))
+            episodes = runner.episodes + num_done
+            ret_delta = ret_delta + jnp.sum(
+                jnp.where(done, ep_return, 0.0)
+            )
+            ep_delta = ep_delta + num_done
+            ep_return = jnp.where(done, 0.0, ep_return)
+            ep_length = jnp.where(done, 0, ep_length)
+
+            # --- learner ---------------------------------------------------
+            env_step = runner.env_step + 1
+            train, step_loss, step_count = _maybe_train(
+                train_key, runner.train, rstate, env_step
+            )
+            train, last_sync = _maybe_sync(
+                train, episodes, runner.last_sync_episodes, env_step
+            )
+
+            runner = RunnerState(
+                train=train,
+                env_states=env_states,
+                obs=obs,
+                replay=rstate,
+                rng=rng,
+                env_step=env_step,
+                episodes=episodes,
+                last_sync_episodes=last_sync,
+                ep_return=ep_return,
+                ep_length=ep_length,
+                return_window=window,
+                window_cursor=cursor,
+                window_filled=filled,
+            )
+            return (
+                runner,
+                loss_sum + step_loss,
+                loss_count + step_count,
+                ep_delta,
+                ret_delta,
+            )
+
+        init = (
+            runner,
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+            jnp.int32(0),
+            jnp.float32(0.0),
+        )
+        runner, loss_sum, loss_count, ep_delta, ret_delta = jax.lax.fori_loop(
+            0, cfg.steps_per_superstep, body, init
+        )
+
+        window_mean = jnp.where(
+            runner.window_filled > 0,
+            jnp.sum(runner.return_window)
+            / jnp.maximum(runner.window_filled, 1).astype(jnp.float32),
+            jnp.float32(-jnp.inf),
+        )
+        threshold = cfg.solve_threshold if cfg.solve_threshold is not None else jnp.inf
+        solved = jnp.logical_and(
+            runner.window_filled >= cfg.return_window, window_mean >= threshold
+        )
+        metrics = SuperstepMetrics(
+            # vector steps; host multiplies by num_envs for aggregate env
+            # steps (avoids int32 overflow at >2.1B aggregate on device)
+            env_steps=runner.env_step,
+            episodes=runner.episodes,
+            episodes_delta=ep_delta,
+            return_sum_delta=ret_delta,
+            loss_sum=loss_sum,
+            loss_count=loss_count,
+            window_mean=window_mean,
+            epsilon=epsilon_by_schedule(
+                cfg, runner.env_step.astype(jnp.float32) * num_envs, runner.episodes
+            ),
+            solved=solved,
+        )
+        return runner, metrics
+
+    return init_runner, superstep

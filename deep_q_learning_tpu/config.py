@@ -1,0 +1,200 @@
+"""Typed configuration for the framework.
+
+The reference has no config system — hyperparameters live as uppercase
+constants in each entry script's ``__main__``
+(``/root/reference/Test/lunar_lander.py:23-37``) and as the 20-argument
+``Agent`` constructor (``q_agent.py:61-86``).  Here a single frozen dataclass
+is the schema; presets below mirror the five benchmark configs in
+``BASELINE.json``.
+
+The config is hashable/static, so jitted builders can close over it; every
+field that reaches a jaxpr is baked in at trace time (static shapes, static
+cadences — XLA-friendly control flow via ``lax.cond`` on step counters).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DQNConfig:
+    # --- environment / orchestration -------------------------------------
+    env_id: str = "CartPole-v1"  # "CartPole-v1" | "LunarLander-v2"
+    num_envs: int = 4096  # lockstep env instances (the data-parallel axis)
+    steps_per_superstep: int = 64  # vector env steps fused into one jit call
+    time_fraction_obs: bool = False  # append t/max_steps (ref env.py:19-21)
+    max_steps_in_episode: Optional[int] = None  # None -> env default
+
+    # --- algorithm --------------------------------------------------------
+    double: bool = True  # double Q-learning (ref q_learning_functions.py:55-58)
+    dueling: bool = True  # dueling head (ref dddqn.py:29-31)
+    gamma: float = 0.99
+    batch_size: int = 64
+    loss: str = "huber"  # "huber" | "mse"
+    huber_delta: float = 1.0
+
+    # Deliberate ref-compat quirk switches (SURVEY.md §3.2): default FIXED.
+    ref_terminal_quirk: bool = False  # terminal target = q[a]+r instead of r
+    truncation_bootstrap: bool = True  # bootstrap through time-limit cuts
+
+    # --- optimizer --------------------------------------------------------
+    optimizer: str = "adamw"  # ref Test/lunar_lander.py uses adamw lr 2e-4
+    learning_rate: float = 2e-4
+    max_grad_norm: Optional[float] = None
+
+    # --- replay -----------------------------------------------------------
+    replay: str = "uniform"  # "uniform" | "prioritized"
+    buffer_capacity: int = 100_000  # TOTAL transitions across all envs
+    training_start: int = 250  # min stored transitions before updates
+    per_alpha: float = 0.6
+    per_beta: float = 0.4
+    per_eps: float = 1e-6
+
+    # --- exploration ------------------------------------------------------
+    eps_schedule: str = "exp_episode"  # "exp_episode" (ref) | "linear_step"
+    eps_start: float = 1.0
+    eps_min: float = 0.15
+    eps_decay: float = 0.99  # per-episode multiplicative factor (ref)
+    eps_decay_steps: int = 100_000  # env-steps horizon for "linear_step"
+
+    # --- cadences (in vector env steps unless noted) ----------------------
+    train_every: int = 4  # ref train_frequency (q_agent.py:186)
+    updates_per_step: int = 1
+    target_sync_mode: str = "steps"  # "steps" | "episodes" (ref: episodes)
+    target_sync_every: int = 500  # used in "steps" mode
+    target_replace_episodes: int = 20  # ref replace_frequency (q_agent.py:192)
+
+    # --- network ----------------------------------------------------------
+    hidden: Tuple[int, ...] = (256, 256)
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+
+    # --- kernels ----------------------------------------------------------
+    use_pallas: bool = False  # fused Pallas TD+loss kernel on the TPU path
+
+    # --- termination / metrics -------------------------------------------
+    return_window: int = 50  # ref 50-episode average (q_agent.py:123-126)
+    solve_threshold: Optional[float] = None  # ref reward_to_reach 230.0
+
+    # --- misc -------------------------------------------------------------
+    seed: int = 0
+
+    @property
+    def capacity_per_env(self) -> int:
+        return max(1, self.buffer_capacity // self.num_envs)
+
+
+# ---------------------------------------------------------------------------
+# Presets: the five benchmark configs from BASELINE.json.
+# ---------------------------------------------------------------------------
+
+def lunar_ref_parity() -> DQNConfig:
+    """Config 1: LunarLander double DQN, reference hyperparams, single env
+    (ref ``Test/lunar_lander.py:23-37``)."""
+    return DQNConfig(
+        env_id="LunarLander-v2",
+        num_envs=1,
+        steps_per_superstep=256,
+        time_fraction_obs=True,
+        max_steps_in_episode=1500,
+        double=True,
+        dueling=True,
+        gamma=0.99,
+        batch_size=64,
+        optimizer="adamw",
+        learning_rate=2e-4,
+        buffer_capacity=100_000,
+        training_start=250,
+        eps_schedule="exp_episode",
+        eps_start=1.0,
+        eps_min=0.15,
+        eps_decay=0.99,
+        train_every=4,
+        target_sync_mode="episodes",
+        target_replace_episodes=20,
+        hidden=(32, 64),
+        return_window=50,
+        solve_threshold=230.0,
+    )
+
+
+def cartpole_vector() -> DQNConfig:
+    """Config 2: CartPole vanilla DQN, 4096 parallel pure-JAX envs."""
+    return DQNConfig(
+        env_id="CartPole-v1",
+        num_envs=4096,
+        steps_per_superstep=64,
+        double=False,
+        dueling=False,
+        gamma=0.99,
+        batch_size=512,
+        learning_rate=1e-3,
+        buffer_capacity=1 << 20,
+        training_start=10_000,
+        eps_schedule="linear_step",
+        eps_start=1.0,
+        eps_min=0.05,
+        eps_decay_steps=250_000,
+        train_every=1,
+        target_sync_mode="steps",
+        target_sync_every=250,
+        hidden=(256, 256),
+        return_window=512,
+        solve_threshold=475.0,
+    )
+
+
+def lunar_dddqn_vector() -> DQNConfig:
+    """Config 3: LunarLander dueling double DQN, on-device uniform replay,
+    jit-fused step+update."""
+    return DQNConfig(
+        env_id="LunarLander-v2",
+        num_envs=1024,
+        steps_per_superstep=64,
+        time_fraction_obs=True,
+        max_steps_in_episode=1000,
+        double=True,
+        dueling=True,
+        gamma=0.99,
+        batch_size=512,
+        learning_rate=3e-4,
+        buffer_capacity=1 << 20,
+        training_start=20_000,
+        eps_schedule="linear_step",
+        eps_start=1.0,
+        eps_min=0.05,
+        eps_decay_steps=500_000,
+        train_every=1,
+        target_sync_mode="steps",
+        target_sync_every=500,
+        hidden=(256, 256),
+        return_window=512,
+        solve_threshold=200.0,
+    )
+
+
+def lunar_per() -> DQNConfig:
+    """Config 4: LunarLander DDQN + prioritized replay (device sum-tree)."""
+    return dataclasses.replace(
+        lunar_dddqn_vector(),
+        replay="prioritized",
+        per_alpha=0.6,
+        per_beta=0.4,
+    )
+
+
+def multihost_ddqn() -> DQNConfig:
+    """Config 5: multi-host DDQN — envs sharded over the mesh, replicated
+    learner with gradient all-reduce over ICI.  Same algorithm config as
+    config 3; the sharding comes from ``parallel.make_distributed_superstep``."""
+    return dataclasses.replace(lunar_dddqn_vector(), num_envs=8192)
+
+
+PRESETS = {
+    "lunar_ref_parity": lunar_ref_parity,
+    "cartpole_vector": cartpole_vector,
+    "lunar_dddqn_vector": lunar_dddqn_vector,
+    "lunar_per": lunar_per,
+    "multihost_ddqn": multihost_ddqn,
+}

@@ -1,0 +1,117 @@
+"""HBM-resident uniform replay — the device-side rebuild of the reference's
+host ring buffer (``/root/reference/General/Base/replay_buffer.py:10-85``).
+
+Reference design: one numpy circular buffer on the host, overwrite-oldest via
+``counter % size`` (replay_buffer.py:35-43), and a numba-jitted host sampler
+drawing uniform indices **with replacement** (replay_buffer.py:68-85).
+
+TPU-native design: a pytree of device arrays laid out ``(num_envs,
+capacity_per_env, ...)`` — a *per-env* ring.  All ``num_envs`` lockstep
+instances write their transition at the same slot each step, so the write is a
+single ``dynamic_update_slice`` on axis 1 (no scatter, no conflicts, fully
+fused into the jitted actor step).  Sampling draws (env, slot) pairs with
+``jax.random`` on device — with replacement, matching the reference sampler's
+semantics.  The leading ``num_envs`` axis is the mesh's "env" axis, so the
+buffer shards with the envs and sampling stays shard-local.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from deep_q_learning_tpu.envs.base import Transition
+
+
+@struct.dataclass
+class ReplayState:
+    """Device-resident ring-buffer state.
+
+    ``storage`` leaves have shape ``(num_envs, capacity_per_env, ...)``.
+    ``cursor`` is the next write slot (shared by all envs — lockstep writes);
+    ``total_adds`` counts vector-steps written, so
+    ``filled = min(total_adds, capacity)`` (the reference's ``num_samples``,
+    replay_buffer.py:41-43).
+    """
+
+    storage: Transition
+    cursor: jax.Array  # int32 scalar
+    total_adds: jax.Array  # int32 scalar
+
+    @property
+    def capacity_per_env(self) -> int:
+        return self.storage.action.shape[1]
+
+    @property
+    def num_envs(self) -> int:
+        return self.storage.action.shape[0]
+
+    @property
+    def filled(self) -> jax.Array:
+        return jnp.minimum(self.total_adds, self.capacity_per_env)
+
+
+class UniformReplay:
+    """Uniform-sampling per-env ring buffer (functional; all ops jittable)."""
+
+    def __init__(self, num_envs: int, capacity_per_env: int):
+        if capacity_per_env < 1:
+            raise ValueError("capacity_per_env must be >= 1")
+        self.num_envs = num_envs
+        self.capacity_per_env = capacity_per_env
+
+    # ----------------------------------------------------------------- init
+    def init(self, example: Transition) -> ReplayState:
+        """Allocate zeroed storage from one example batched transition
+        (leaves ``(num_envs, ...)``); only shapes/dtypes of leaves are used."""
+
+        def alloc(leaf: jax.Array) -> jax.Array:
+            assert leaf.shape[0] == self.num_envs, (
+                f"example leaf must be batched (num_envs={self.num_envs}), "
+                f"got shape {leaf.shape}"
+            )
+            return jnp.zeros(
+                (self.num_envs, self.capacity_per_env) + leaf.shape[1:], leaf.dtype
+            )
+
+        storage = jax.tree.map(alloc, example)
+        return ReplayState(
+            storage=storage, cursor=jnp.int32(0), total_adds=jnp.int32(0)
+        )
+
+    # ------------------------------------------------------------------ add
+    def add(self, state: ReplayState, transition: Transition) -> ReplayState:
+        """Write one vector-step of transitions (leaves ``(num_envs, ...)``)
+        at the cursor slot; overwrite-oldest on wraparound (the reference's
+        ``counter % size``, replay_buffer.py:37-40)."""
+
+        def write(buf: jax.Array, item: jax.Array) -> jax.Array:
+            return jax.lax.dynamic_update_slice_in_dim(
+                buf, item[:, None], state.cursor, axis=1
+            )
+
+        storage = jax.tree.map(write, state.storage, transition)
+        return ReplayState(
+            storage=storage,
+            cursor=(state.cursor + 1) % self.capacity_per_env,
+            total_adds=state.total_adds + 1,
+        )
+
+    # --------------------------------------------------------------- sample
+    def sample(self, state: ReplayState, key: jax.Array, batch_size: int) -> Transition:
+        """Uniform with replacement over all filled (env, slot) cells —
+        device-side equivalent of the numba sampler (replay_buffer.py:68-85)."""
+        env_key, slot_key = jax.random.split(key)
+        env_idx = jax.random.randint(env_key, (batch_size,), 0, self.num_envs)
+        slot_idx = jax.random.randint(
+            slot_key, (batch_size,), 0, jnp.maximum(state.filled, 1)
+        )
+        return jax.tree.map(lambda buf: buf[env_idx, slot_idx], state.storage)
+
+    def can_sample(self, state: ReplayState, min_transitions: int) -> jax.Array:
+        """True once at least ``min_transitions`` total transitions are stored
+        (the reference's ``training_start`` gate, q_agent.py:186)."""
+        return (state.filled * self.num_envs) >= min_transitions

@@ -1,0 +1,139 @@
+"""Superstep orchestration tests: counters, window scatter, donation, and a
+small end-to-end learning smoke on CartPole."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_q_learning_tpu.config import DQNConfig
+from deep_q_learning_tpu.envs import CartPole, VectorEnv
+from deep_q_learning_tpu.models import QNetwork
+from deep_q_learning_tpu.replay import UniformReplay
+from deep_q_learning_tpu.algos import build_superstep, make_optimizer
+from deep_q_learning_tpu.algos.superstep import _scatter_completed_returns
+
+
+def test_scatter_completed_returns_multiple_dones():
+    window = jnp.zeros((4,))
+    done = jnp.array([True, False, True, True, False])
+    rets = jnp.array([10.0, 1.0, 20.0, 30.0, 2.0])
+    w, cur, filled = _scatter_completed_returns(
+        window, jnp.int32(0), jnp.int32(0), done, rets
+    )
+    np.testing.assert_array_equal(np.asarray(w), [10.0, 20.0, 30.0, 0.0])
+    assert int(cur) == 3 and int(filled) == 3
+    # wraparound: two more completions from cursor 3
+    done2 = jnp.array([True, True, False, False, False])
+    rets2 = jnp.array([40.0, 50.0, 0.0, 0.0, 0.0])
+    w2, cur2, filled2 = _scatter_completed_returns(w, cur, filled, done2, rets2)
+    np.testing.assert_array_equal(np.asarray(w2), [50.0, 20.0, 30.0, 40.0])
+    assert int(cur2) == 1 and int(filled2) == 4
+
+
+def _build(cfg):
+    env = CartPole()
+    params = env.default_params()
+    venv = VectorEnv(env, cfg.num_envs)
+    net = QNetwork(num_actions=env.num_actions, hidden=cfg.hidden, dueling=cfg.dueling)
+    opt = make_optimizer(cfg)
+    replay = UniformReplay(cfg.num_envs, cfg.capacity_per_env)
+    return build_superstep(venv, params, net, opt, replay, cfg)
+
+
+SMALL = DQNConfig(
+    num_envs=16,
+    steps_per_superstep=8,
+    batch_size=32,
+    training_start=64,
+    buffer_capacity=1024,
+    double=False,
+    dueling=False,
+    hidden=(32, 32),
+    eps_schedule="linear_step",
+    eps_decay_steps=2000,
+    train_every=1,
+    target_sync_mode="steps",
+    target_sync_every=32,
+    return_window=16,
+    solve_threshold=50.0,
+)
+
+
+def test_superstep_counters_and_metrics():
+    init_runner, superstep = _build(SMALL)
+    runner = init_runner(jax.random.PRNGKey(0))
+    step = jax.jit(superstep, donate_argnums=0)
+    total_eps = 0
+    for i in range(6):
+        runner, m = step(runner)
+        total_eps += int(m.episodes_delta)
+    assert int(m.env_steps) == 6 * SMALL.steps_per_superstep
+    assert int(m.episodes) == total_eps
+    assert int(runner.replay.total_adds) == int(m.env_steps)
+    # loss only accumulates once buffer passes training_start
+    assert float(m.loss_count) > 0
+    assert np.isfinite(float(m.loss_sum))
+    # epsilon decayed from start
+    assert float(m.epsilon) < SMALL.eps_start
+
+
+def test_superstep_deterministic_same_seed():
+    init_runner, superstep = _build(SMALL)
+    step = jax.jit(superstep)  # no donation: reuse runners
+    r1 = init_runner(jax.random.PRNGKey(7))
+    r2 = init_runner(jax.random.PRNGKey(7))
+    r1, m1 = step(r1)
+    r2, m2 = step(r2)
+    assert float(m1.return_sum_delta) == float(m2.return_sum_delta)
+    chex_equal = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        r1.train.params,
+        r2.train.params,
+    )
+    assert all(jax.tree.leaves(chex_equal))
+
+
+def test_target_sync_episode_mode():
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        SMALL, target_sync_mode="episodes", target_replace_episodes=5
+    )
+    init_runner, superstep = _build(cfg)
+    runner = init_runner(jax.random.PRNGKey(0))
+    step = jax.jit(superstep, donate_argnums=0)
+    for _ in range(8):
+        runner, m = step(runner)
+    # after enough episodes, target must have synced at least once:
+    # last_sync_episodes advanced beyond 0
+    assert int(runner.last_sync_episodes) > 0
+
+
+def test_cartpole_learns_above_random():
+    """Short learning smoke: after ~15k env steps the 16-episode window mean
+    should clearly beat the random-policy CartPole return (~20)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        SMALL,
+        num_envs=32,
+        steps_per_superstep=64,
+        batch_size=128,
+        training_start=1000,
+        buffer_capacity=50_000,
+        hidden=(64, 64),
+        learning_rate=5e-4,
+        eps_decay_steps=30_000,
+        eps_min=0.05,
+        target_sync_every=512,
+        return_window=32,
+    )
+    init_runner, superstep = _build(cfg)
+    runner = init_runner(jax.random.PRNGKey(3))
+    step = jax.jit(superstep, donate_argnums=0)
+    best = -np.inf
+    for i in range(30):
+        runner, m = step(runner)
+        best = max(best, float(m.window_mean))
+    assert best > 50.0, f"no learning signal: best window mean {best}"
