@@ -13,3 +13,4 @@ from deep_q_learning_tpu.algos.superstep import (
     SuperstepMetrics,
     build_superstep,
 )
+from deep_q_learning_tpu.algos.evaluate import build_evaluator

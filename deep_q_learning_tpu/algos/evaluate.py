@@ -1,0 +1,61 @@
+"""Greedy policy evaluation — returns TRUE eval returns.
+
+The reference's ``Agent.evaluate`` (``q_agent.py:224-231``) runs 10 greedy
+rollouts but (a) keeps stepping finished envs and (b) *discards* the eval
+rewards, returning the training-window average instead (SURVEY.md §3.3) — so
+its HPO objective is not actually an evaluation.  This evaluator runs N
+parallel greedy episodes fully on device (one ``lax.while_loop``), masks envs
+after their first termination, and returns the per-episode returns.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from deep_q_learning_tpu.envs.base import VectorEnv
+
+
+def build_evaluator(
+    venv: VectorEnv, env_params: Any, network, max_steps: int
+) -> Callable:
+    """Returns ``evaluate(params, key) -> (returns, lengths)`` with shapes
+    ``(num_envs,)`` — one greedy episode per env instance."""
+
+    def evaluate(params, key: jax.Array):
+        reset_key, loop_key = jax.random.split(key)
+        obs, states = venv.reset(reset_key, env_params)
+
+        def cond(carry):
+            _, _, _, _, _, done, steps = carry
+            return jnp.logical_and(steps < max_steps, ~jnp.all(done))
+
+        def body(carry):
+            obs, states, key, rets, lengths, done, steps = carry
+            key, step_key = jax.random.split(key)
+            q = network.apply(params, obs)
+            actions = jnp.argmax(q, axis=-1).astype(jnp.int32)
+            next_obs, next_states, tr = venv.step(step_key, states, actions, env_params)
+            live = ~done
+            rets = rets + jnp.where(live, tr.reward, 0.0)
+            now_done = tr.terminated | tr.truncated
+            lengths = jnp.where(live & now_done, steps + 1, lengths)
+            done = done | now_done
+            return (next_obs, next_states, key, rets, lengths, done, steps + 1)
+
+        n = venv.num_envs
+        init = (
+            obs,
+            states,
+            loop_key,
+            jnp.zeros((n,), jnp.float32),
+            jnp.full((n,), max_steps, jnp.int32),
+            jnp.zeros((n,), bool),
+            jnp.int32(0),
+        )
+        _, _, _, rets, lengths, done, _ = jax.lax.while_loop(cond, body, init)
+        return rets, lengths
+
+    return evaluate

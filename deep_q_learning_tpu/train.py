@@ -1,0 +1,170 @@
+"""Trainer — the host-side orchestrator (thin by design).
+
+The reference's ``Agent`` (``q_agent.py:22-246``) owns the inner loop: every
+env step, ε draw, and train call is host Python.  Here the host loop only
+(a) launches jitted supersteps, (b) reads back one small metrics pytree per
+superstep, (c) decides stop/checkpoint — everything hot lives on device
+(``algos/superstep.py``).
+
+Feature parity with ``Agent.training()``/``evaluate()``:
+  * solve-threshold termination on the 50-episode window (q_agent.py:219-222)
+  * periodic checkpointing (q_agent.py:195-196) — but of the FULL runner
+    state with true resume (the reference cannot resume mid-training)
+  * progress logging (q_agent.py:214-217)
+  * greedy evaluation — returning TRUE eval returns (fixes q_agent.py:231)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from deep_q_learning_tpu.config import DQNConfig
+from deep_q_learning_tpu.envs import VectorEnv, make_env
+from deep_q_learning_tpu.models import QNetwork
+from deep_q_learning_tpu.replay import UniformReplay
+from deep_q_learning_tpu.algos import build_superstep, make_optimizer
+from deep_q_learning_tpu.algos.evaluate import build_evaluator
+from deep_q_learning_tpu.utils import checkpoint as ckpt
+
+
+@dataclasses.dataclass
+class TrainResult:
+    solved: bool
+    env_steps: int
+    episodes: int
+    wall_time_s: float
+    final_window_mean: float
+    history: List[Dict[str, float]]
+
+
+class Trainer:
+    """Build-once, step-many trainer for one config."""
+
+    def __init__(self, cfg: DQNConfig, workdir: Optional[str] = None):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.env, self.env_params = make_env(
+            cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode
+        )
+        self.venv = VectorEnv(self.env, cfg.num_envs)
+        import jax.numpy as jnp
+
+        self.network = QNetwork(
+            num_actions=self.env.num_actions,
+            hidden=cfg.hidden,
+            dueling=cfg.dueling,
+            compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+        )
+        self.optimizer = make_optimizer(cfg)
+        self.replay = UniformReplay(cfg.num_envs, cfg.capacity_per_env)
+        self._init_runner, superstep = build_superstep(
+            self.venv, self.env_params, self.network, self.optimizer, self.replay, cfg
+        )
+        self._superstep = jax.jit(superstep, donate_argnums=0)
+        eval_venv = VectorEnv(self.env, min(cfg.num_envs, 128))
+        self._evaluate = jax.jit(
+            build_evaluator(
+                eval_venv,
+                self.env_params,
+                self.network,
+                self.env_params.max_steps_in_episode,
+            )
+        )
+        self.runner = None
+        self.history: List[Dict[str, float]] = []
+
+    # ------------------------------------------------------------------ api
+    def init(self, seed: Optional[int] = None):
+        self.runner = self._init_runner(
+            jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        )
+        return self
+
+    def train(
+        self,
+        max_env_steps: int = 10_000_000,
+        log_every: int = 10,
+        checkpoint_every: Optional[int] = None,
+        verbose: bool = True,
+    ) -> TrainResult:
+        """Run supersteps until solved or the env-step budget is exhausted."""
+        if self.runner is None:
+            self.init()
+        cfg = self.cfg
+        t0 = time.time()
+        solved = False
+        i = 0
+        last_steps, last_time = 0, t0
+        while True:
+            self.runner, m = self._superstep(self.runner)
+            i += 1
+            if i % log_every == 0:
+                window = float(m.window_mean)  # device sync point
+                env_steps = int(m.env_steps) * cfg.num_envs
+                now = time.time()
+                sps = (env_steps - last_steps) / max(now - last_time, 1e-9)
+                last_steps, last_time = env_steps, now
+                rec = {
+                    "superstep": i,
+                    "env_steps": env_steps,
+                    "episodes": int(m.episodes),
+                    "window_mean": window,
+                    "epsilon": float(m.epsilon),
+                    "loss": float(m.loss_sum) / max(float(m.loss_count), 1.0),
+                    "steps_per_s": sps,
+                    "wall_s": now - t0,
+                }
+                self.history.append(rec)
+                if verbose:
+                    print(
+                        f"[{rec['wall_s']:7.1f}s] steps {env_steps/1e6:8.2f}M "
+                        f"episodes {rec['episodes']:7d} window {window:8.2f} "
+                        f"eps {rec['epsilon']:.3f} loss {rec['loss']:.4f} "
+                        f"({sps/1e6:.2f}M steps/s)",
+                        flush=True,
+                    )
+                solved = bool(m.solved)
+                if checkpoint_every and self.workdir and i % checkpoint_every == 0:
+                    self.save(step=env_steps)
+                if solved or env_steps >= max_env_steps:
+                    break
+        env_steps = int(m.env_steps) * cfg.num_envs
+        if solved and self.workdir:
+            self.save(step=env_steps)
+        return TrainResult(
+            solved=solved,
+            env_steps=env_steps,
+            episodes=int(m.episodes),
+            wall_time_s=time.time() - t0,
+            final_window_mean=float(m.window_mean),
+            history=self.history,
+        )
+
+    def evaluate(self, seed: int = 0):
+        """Greedy eval: true per-episode returns (fixes ref q_agent.py:231)."""
+        rets, lengths = self._evaluate(self.runner.train.params, jax.random.PRNGKey(seed))
+        return np.asarray(rets), np.asarray(lengths)
+
+    # --------------------------------------------------------- persistence
+    def save(self, step: int) -> str:
+        assert self.workdir, "Trainer(workdir=...) required for checkpointing"
+        return ckpt.save_checkpoint(self.workdir, self.runner, step)
+
+    def restore(self, step: Optional[int] = None):
+        assert self.workdir, "Trainer(workdir=...) required for checkpointing"
+        template = self.runner if self.runner is not None else self._init_runner(
+            jax.random.PRNGKey(self.cfg.seed)
+        )
+        self.runner = ckpt.restore_checkpoint(self.workdir, template, step)
+        return self
+
+    def save_pickle_compat(self, directory: str):
+        """Reference on-disk format (utils.py:21-29)."""
+        ckpt.save_params_pickle(
+            directory, self.runner.train.params, self.runner.train.opt_state
+        )

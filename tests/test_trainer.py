@@ -1,0 +1,88 @@
+"""Trainer / evaluator / checkpoint-resume tests (small CPU configs)."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from deep_q_learning_tpu.config import DQNConfig
+from deep_q_learning_tpu.train import Trainer
+from deep_q_learning_tpu.utils import checkpoint as ckpt
+
+CFG = DQNConfig(
+    env_id="CartPole-v1",
+    num_envs=16,
+    steps_per_superstep=8,
+    batch_size=32,
+    training_start=64,
+    buffer_capacity=2048,
+    double=False,
+    dueling=False,
+    hidden=(32, 32),
+    learning_rate=5e-4,
+    eps_schedule="linear_step",
+    eps_decay_steps=5000,
+    train_every=2,
+    target_sync_mode="steps",
+    target_sync_every=128,
+    return_window=16,
+    solve_threshold=1000.0,  # unreachable: train() must stop on the budget
+    seed=1,
+)
+
+
+def test_trainer_runs_and_logs():
+    tr = Trainer(CFG).init()
+    res = tr.train(max_env_steps=2048, log_every=2, verbose=False)
+    assert not res.solved
+    assert res.env_steps >= 2048
+    assert res.episodes > 0
+    assert len(res.history) >= 1
+    rec = res.history[-1]
+    assert set(rec) >= {"env_steps", "episodes", "window_mean", "epsilon", "loss"}
+
+
+def test_evaluator_true_returns():
+    tr = Trainer(CFG).init()
+    rets, lengths = tr.evaluate(seed=0)
+    # one greedy episode per eval env; CartPole returns == episode lengths
+    assert rets.shape == lengths.shape
+    np.testing.assert_allclose(rets, lengths.astype(np.float32))
+    assert (rets >= 1).all()
+    assert (lengths <= 500).all()
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    wd = os.path.join(str(tmp_path), "ckpt")
+    tr = Trainer(CFG, workdir=wd).init()
+    tr.train(max_env_steps=1024, log_every=2, verbose=False)
+    tr.save(step=1)
+
+    # continue two supersteps from the checkpoint in two separate trainers
+    def continue_from_ckpt():
+        t2 = Trainer(CFG, workdir=wd).init()
+        t2.restore(step=1)
+        t2.runner, m = t2._superstep(t2.runner)
+        return jax.tree.leaves(t2.runner.train.params), float(m.return_sum_delta)
+
+    leaves1, r1 = continue_from_ckpt()
+    leaves2, r2 = continue_from_ckpt()
+    assert r1 == r2
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pickle_compat_roundtrip(tmp_path):
+    tr = Trainer(CFG).init()
+    d = os.path.join(str(tmp_path), "ref_format")
+    tr.save_pickle_compat(d)
+    assert os.path.exists(os.path.join(d, "params.pickle"))
+    assert os.path.exists(os.path.join(d, "opt_state.pickle"))
+    params, opt_state = ckpt.load_params_pickle(d)
+    orig = jax.tree.leaves(tr.runner.train.params)
+    loaded = jax.tree.leaves(params)
+    assert len(orig) == len(loaded)
+    for a, b in zip(orig, loaded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
