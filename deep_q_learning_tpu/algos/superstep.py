@@ -97,19 +97,30 @@ def build_superstep(
     replay: UniformReplay,
     cfg: DQNConfig,
     axis_name: Optional[str] = None,
+    num_shards: int = 1,
 ) -> Tuple[Callable, Callable]:
     """Build ``(init_runner, superstep)``.
 
     ``init_runner(key) -> RunnerState`` and
     ``superstep(runner) -> (runner, SuperstepMetrics)`` are pure; the caller
     jits (and optionally shard_maps) ``superstep`` with donated runner state.
-    """
+
+    When used as the per-shard body of a mesh program (``parallel/``),
+    ``venv`` holds the shard-local envs, ``axis_name`` names the mesh axis for
+    the gradient all-reduce, and ``num_shards`` scales step-based schedules
+    and warmup gates to GLOBAL env-step units so 1-shard and k-shard runs see
+    the same hyperparameter semantics."""
     update = build_update_step(network.apply, optimizer, cfg, axis_name=axis_name)
     num_envs = venv.num_envs
+    global_envs = num_envs * num_shards
     (obs_dim,) = venv.obs_shape(env_params)
 
-    def init_runner(key: jax.Array) -> RunnerState:
-        net_key, env_key, rng = jax.random.split(key, 3)
+    def init_runner(key: jax.Array, net_key: Optional[jax.Array] = None) -> RunnerState:
+        derived_net_key, env_key, rng = jax.random.split(key, 3)
+        if net_key is None:
+            net_key = derived_net_key  # single-shard: self-contained
+        # multi-shard: caller passes one SHARED net_key so every shard
+        # initializes identical (replicated) learner params
         train = init_train_state(network, optimizer, net_key, obs_dim)
         obs, env_states = venv.reset(env_key, env_params)
         example = Transition(
@@ -142,9 +153,10 @@ def build_superstep(
         """cfg.updates_per_step gradient updates, gated on cadence + warmup
         (ref gate: ``step % train_frequency == 0 and buffer.size >=
         training_start``, q_agent.py:186-187)."""
+        # warmup gate in GLOBAL transitions: local filled * global env count
         do_train = jnp.logical_and(
             env_step % cfg.train_every == 0,
-            replay.can_sample(rstate, cfg.training_start),
+            (rstate.filled * global_envs) >= cfg.training_start,
         )
 
         def run_updates(args):
@@ -191,7 +203,7 @@ def build_superstep(
 
             # --- actor: ε-greedy on device --------------------------------
             eps = epsilon_by_schedule(
-                cfg, runner.env_step.astype(jnp.float32) * num_envs, runner.episodes
+                cfg, runner.env_step.astype(jnp.float32) * global_envs, runner.episodes
             )
             q_values = network.apply(runner.train.params, runner.obs)
             actions = epsilon_greedy(action_key, q_values, eps)
@@ -286,7 +298,7 @@ def build_superstep(
             loss_count=loss_count,
             window_mean=window_mean,
             epsilon=epsilon_by_schedule(
-                cfg, runner.env_step.astype(jnp.float32) * num_envs, runner.episodes
+                cfg, runner.env_step.astype(jnp.float32) * global_envs, runner.episodes
             ),
             solved=solved,
         )
