@@ -149,7 +149,7 @@ def build_superstep(
 
     def _maybe_train(
         rng: jax.Array, train: TrainState, rstate: ReplayState, env_step: jax.Array
-    ) -> Tuple[TrainState, jax.Array, jax.Array]:
+    ) -> Tuple[TrainState, ReplayState, jax.Array, jax.Array]:
         """cfg.updates_per_step gradient updates, gated on cadence + warmup
         (ref gate: ``step % train_frequency == 0 and buffer.size >=
         training_start``, q_agent.py:186-187)."""
@@ -160,26 +160,29 @@ def build_superstep(
         )
 
         def run_updates(args):
-            rng, train = args
+            rng, train, rstate = args
 
             def one(u, carry):
-                rng, train, loss_sum = carry
+                rng, train, rstate, loss_sum = carry
                 rng, sample_key = jax.random.split(rng)
-                batch = replay.sample(rstate, sample_key, cfg.batch_size)
-                weights = jnp.ones((cfg.batch_size,), jnp.float32)
-                train, loss, _ = update(train, batch, weights)
-                return rng, train, loss_sum + loss
+                batch, info, weights = replay.sample_with_info(
+                    rstate, sample_key, cfg.batch_size
+                )
+                train, loss, td_err = update(train, batch, weights)
+                # PER: refresh sampled priorities from |td| (no-op for uniform)
+                rstate = replay.update_priorities(rstate, info, td_err)
+                return rng, train, rstate, loss_sum + loss
 
-            rng, train, loss_sum = jax.lax.fori_loop(
-                0, cfg.updates_per_step, one, (rng, train, jnp.float32(0.0))
+            rng, train, rstate, loss_sum = jax.lax.fori_loop(
+                0, cfg.updates_per_step, one, (rng, train, rstate, jnp.float32(0.0))
             )
-            return train, loss_sum, jnp.float32(cfg.updates_per_step)
+            return train, rstate, loss_sum, jnp.float32(cfg.updates_per_step)
 
         def skip(args):
-            _, train = args
-            return train, jnp.float32(0.0), jnp.float32(0.0)
+            _, train, rstate = args
+            return train, rstate, jnp.float32(0.0), jnp.float32(0.0)
 
-        return jax.lax.cond(do_train, run_updates, skip, (rng, train))
+        return jax.lax.cond(do_train, run_updates, skip, (rng, train, rstate))
 
     def _maybe_sync(runner_train, episodes, last_sync, env_step):
         """Hard target sync on the configured cadence (ref: every
@@ -236,7 +239,7 @@ def build_superstep(
 
             # --- learner ---------------------------------------------------
             env_step = runner.env_step + 1
-            train, step_loss, step_count = _maybe_train(
+            train, rstate, step_loss, step_count = _maybe_train(
                 train_key, runner.train, rstate, env_step
             )
             train, last_sync = _maybe_sync(

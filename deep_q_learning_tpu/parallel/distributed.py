@@ -29,32 +29,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from deep_q_learning_tpu.config import DQNConfig
 from deep_q_learning_tpu.envs import VectorEnv, make_env
 from deep_q_learning_tpu.models import QNetwork
-from deep_q_learning_tpu.replay import UniformReplay
-from deep_q_learning_tpu.replay.uniform import ReplayState
+from deep_q_learning_tpu.replay import make_replay
 from deep_q_learning_tpu.algos import build_superstep, make_optimizer
 from deep_q_learning_tpu.algos.superstep import RunnerState, SuperstepMetrics
 from deep_q_learning_tpu.parallel.mesh import ENV_AXIS
 
 
-def _runner_specs(example: RunnerState) -> RunnerState:
+def _runner_specs(example: RunnerState, replay) -> RunnerState:
     """PartitionSpec pytree matching RunnerState: learner replicated,
-    everything else sharded on its leading (env or shard) axis."""
+    everything else sharded on its leading (env or shard) axis; replay
+    sharding is delegated to the replay implementation."""
     train_specs = jax.tree.map(lambda _: P(), example.train)
     shard = lambda tree: jax.tree.map(lambda _: P(ENV_AXIS), tree)
     return RunnerState(
         train=train_specs,
         env_states=shard(example.env_states),
         obs=P(ENV_AXIS),
-        replay=ReplayState(
-            storage=shard(example.replay.storage),
-            cursor=P(ENV_AXIS),
-            total_adds=P(ENV_AXIS),
-        ),
+        replay=replay.shard_specs(example.replay, ENV_AXIS),
         rng=P(ENV_AXIS),
         env_step=P(ENV_AXIS),
         episodes=P(ENV_AXIS),
@@ -67,18 +63,14 @@ def _runner_specs(example: RunnerState) -> RunnerState:
     )
 
 
-def _to_local(g: RunnerState) -> RunnerState:
+def _to_local(g: RunnerState, replay) -> RunnerState:
     """Strip the per-shard leading axis from scalar-per-shard leaves (inside
     shard_map each block has local shape (1, ...))."""
     return RunnerState(
         train=g.train,
         env_states=g.env_states,
         obs=g.obs,
-        replay=ReplayState(
-            storage=g.replay.storage,
-            cursor=g.replay.cursor[0],
-            total_adds=g.replay.total_adds[0],
-        ),
+        replay=replay.to_local(g.replay),
         rng=g.rng[0],
         env_step=g.env_step[0],
         episodes=g.episodes[0],
@@ -91,18 +83,14 @@ def _to_local(g: RunnerState) -> RunnerState:
     )
 
 
-def _to_global(l: RunnerState) -> RunnerState:
+def _to_global(l: RunnerState, replay) -> RunnerState:
     """Re-add the (1,) per-shard axis on scalar-per-shard leaves."""
     one = lambda x: jnp.asarray(x)[None]
     return RunnerState(
         train=l.train,
         env_states=l.env_states,
         obs=l.obs,
-        replay=ReplayState(
-            storage=l.replay.storage,
-            cursor=one(l.replay.cursor),
-            total_adds=one(l.replay.total_adds),
-        ),
+        replay=replay.to_global(l.replay),
         rng=one(l.rng),
         env_step=one(l.env_step),
         episodes=one(l.episodes),
@@ -150,7 +138,7 @@ def build_distributed_superstep(
     local_cfg = dataclasses.replace(
         cfg, num_envs=local_envs, batch_size=cfg.batch_size // num_shards
     )
-    replay = UniformReplay(local_envs, cfg.capacity_per_env)
+    replay = make_replay(cfg, num_envs=local_envs)
     init_local, superstep_local = build_superstep(
         venv,
         env_params,
@@ -164,9 +152,9 @@ def build_distributed_superstep(
 
     # specs come from an eval-shaped example (structure only, built abstractly)
     example = jax.eval_shape(
-        lambda k: _to_global(init_local(k, net_key=k)), jax.random.PRNGKey(0)
+        lambda k: _to_global(init_local(k, net_key=k), replay), jax.random.PRNGKey(0)
     )
-    specs = _runner_specs(example)
+    specs = _runner_specs(example, replay)
     # every metric leaf gets one slot per shard on a leading axis
     metric_example = SuperstepMetrics(
         env_steps=0, episodes=0, episodes_delta=0, return_sum_delta=0.0,
@@ -179,10 +167,10 @@ def build_distributed_superstep(
         mesh=mesh,
         in_specs=(P(ENV_AXIS), P()),
         out_specs=specs,
-        check_rep=False,
+        check_vma=False,
     )
     def _init_sharded(shard_keys, net_key):
-        return _to_global(init_local(shard_keys[0], net_key=net_key))
+        return _to_global(init_local(shard_keys[0], net_key=net_key), replay)
 
     def init_runner(key: jax.Array) -> RunnerState:
         net_key, env_key = jax.random.split(key)
@@ -194,11 +182,13 @@ def build_distributed_superstep(
         mesh=mesh,
         in_specs=(specs,),
         out_specs=(specs, metric_specs),
-        check_rep=False,
+        check_vma=False,
     )
     def superstep(g: RunnerState):
-        local, metrics = superstep_local(_to_local(g))
-        return _to_global(local), jax.tree.map(lambda x: jnp.asarray(x)[None], metrics)
+        local, metrics = superstep_local(_to_local(g, replay))
+        return _to_global(local, replay), jax.tree.map(
+            lambda x: jnp.asarray(x)[None], metrics
+        )
 
     return init_runner, superstep, network
 

@@ -1,0 +1,205 @@
+"""Prioritized experience replay, fully on device.
+
+Net-new capability over the reference (uniform-only,
+``replay_buffer.py:68-85``), required by BASELINE.json config 4.  Proportional
+PER (Schaul et al. 2015): sample ∝ priority^α, importance weights
+``(1/(n·P))^β`` normalized by the batch max, new transitions at max priority,
+priorities updated to ``|td|+ε`` after each learner step.
+
+TPU-native layout: priorities live beside the ring storage as a dense
+``(num_envs, capacity_per_env)`` array.  Sampling is a two-level categorical —
+(1) pick envs ∝ per-env priority sums, (2) pick slots within each chosen env
+row — implemented with cumulative sums + searchsorted, which vectorizes onto
+the VPU with no host sync and no tree pointer-chasing.  (A classic log-depth
+sum-tree descent exists as a Pallas kernel in ``ops/sumtree_kernels.py``; the
+two-level form is the default because dense row cumsums are bandwidth-trivial
+at these shapes and XLA fuses them into the superstep.)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from deep_q_learning_tpu.envs.base import Transition
+from deep_q_learning_tpu.replay.uniform import ReplayState
+
+
+@struct.dataclass
+class PrioritizedReplayState:
+    storage: Transition  # leaves (N, C, ...)
+    priorities: jax.Array  # (N, C) f32, already exponentiated by alpha
+    max_priority: jax.Array  # scalar f32 (pre-alpha magnitude)
+    cursor: jax.Array
+    total_adds: jax.Array
+
+    @property
+    def capacity_per_env(self) -> int:
+        return self.storage.action.shape[1]
+
+    @property
+    def num_envs(self) -> int:
+        return self.storage.action.shape[0]
+
+    @property
+    def filled(self) -> jax.Array:
+        return jnp.minimum(self.total_adds, self.capacity_per_env)
+
+
+class SampleInfo(NamedTuple):
+    env_idx: jax.Array  # (B,)
+    slot_idx: jax.Array  # (B,)
+
+
+class PrioritizedReplay:
+    """Functional proportional-PER ring buffer (same write path as uniform)."""
+
+    kind = "prioritized"
+
+    def __init__(
+        self,
+        num_envs: int,
+        capacity_per_env: int,
+        alpha: float = 0.6,
+        beta: float = 0.4,
+        eps: float = 1e-6,
+    ):
+        self.num_envs = num_envs
+        self.capacity_per_env = capacity_per_env
+        self.alpha = alpha
+        self.beta = beta
+        self.eps = eps
+
+    # ----------------------------------------------------------------- init
+    def init(self, example: Transition) -> PrioritizedReplayState:
+        def alloc(leaf):
+            assert leaf.shape[0] == self.num_envs
+            return jnp.zeros(
+                (self.num_envs, self.capacity_per_env) + leaf.shape[1:], leaf.dtype
+            )
+
+        return PrioritizedReplayState(
+            storage=jax.tree.map(alloc, example),
+            priorities=jnp.zeros((self.num_envs, self.capacity_per_env), jnp.float32),
+            max_priority=jnp.float32(1.0),
+            cursor=jnp.int32(0),
+            total_adds=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------------ add
+    def add(
+        self, state: PrioritizedReplayState, transition: Transition
+    ) -> PrioritizedReplayState:
+        def write(buf, item):
+            return jax.lax.dynamic_update_slice_in_dim(
+                buf, item[:, None], state.cursor, axis=1
+            )
+
+        storage = jax.tree.map(write, state.storage, transition)
+        # new transitions enter at max priority (standard PER)
+        new_p = jnp.full((self.num_envs, 1), state.max_priority**self.alpha)
+        priorities = jax.lax.dynamic_update_slice_in_dim(
+            state.priorities, new_p, state.cursor, axis=1
+        )
+        return state.replace(
+            storage=storage,
+            priorities=priorities,
+            cursor=(state.cursor + 1) % self.capacity_per_env,
+            total_adds=state.total_adds + 1,
+        )
+
+    # --------------------------------------------------------------- sample
+    def sample_with_info(
+        self, state: PrioritizedReplayState, key: jax.Array, batch_size: int
+    ) -> Tuple[Transition, SampleInfo, jax.Array]:
+        """Two-level proportional sampling; returns (batch, info, weights)."""
+        env_key, slot_key = jax.random.split(key)
+        p = state.priorities  # zeros outside the filled region by invariant
+
+        # level 1: env rows ∝ row sums
+        row_sums = jnp.sum(p, axis=1)  # (N,)
+        row_cdf = jnp.cumsum(row_sums)
+        total = row_cdf[-1]
+        u_env = jax.random.uniform(env_key, (batch_size,)) * total
+        env_idx = jnp.searchsorted(row_cdf, u_env, side="right").astype(jnp.int32)
+        env_idx = jnp.minimum(env_idx, self.num_envs - 1)
+
+        # level 2: slot within each chosen row ∝ row priorities
+        rows = p[env_idx]  # (B, C) gather
+        row_cdfs = jnp.cumsum(rows, axis=1)
+        row_tot = row_cdfs[:, -1]
+        u_slot = jax.random.uniform(slot_key, (batch_size,)) * row_tot
+        slot_idx = jnp.int32(
+            jax.vmap(lambda cdf, u: jnp.searchsorted(cdf, u, side="right"))(
+                row_cdfs, u_slot
+            )
+        )
+        slot_idx = jnp.minimum(slot_idx, self.capacity_per_env - 1)
+
+        batch = jax.tree.map(lambda buf: buf[env_idx, slot_idx], state.storage)
+
+        # importance weights: w = (1/(n·P))^β, normalized by batch max
+        n_valid = (state.filled * self.num_envs).astype(jnp.float32)
+        p_sel = p[env_idx, slot_idx] / jnp.maximum(total, 1e-12)
+        w = (1.0 / jnp.maximum(n_valid * p_sel, 1e-12)) ** self.beta
+        w = w / jnp.maximum(jnp.max(w), 1e-12)
+        return batch, SampleInfo(env_idx, slot_idx), w.astype(jnp.float32)
+
+    # ------------------------------------------------------------- updates
+    def update_priorities(
+        self,
+        state: PrioritizedReplayState,
+        info: SampleInfo,
+        td_errors: jax.Array,
+    ) -> PrioritizedReplayState:
+        mag = jnp.abs(td_errors) + self.eps
+        new_p = mag**self.alpha
+        priorities = state.priorities.at[info.env_idx, info.slot_idx].set(new_p)
+        return state.replace(
+            priorities=priorities,
+            max_priority=jnp.maximum(state.max_priority, jnp.max(mag)),
+        )
+
+    def can_sample(self, state: PrioritizedReplayState, min_transitions: int) -> jax.Array:
+        return (state.filled * self.num_envs) >= min_transitions
+
+    # -------------------------------------------------- mesh-sharding mapping
+    def shard_specs(self, example: PrioritizedReplayState, env_axis: str):
+        from jax.sharding import PartitionSpec as P
+
+        return PrioritizedReplayState(
+            storage=jax.tree.map(lambda _: P(env_axis), example.storage),
+            priorities=P(env_axis),
+            max_priority=P(env_axis),
+            cursor=P(env_axis),
+            total_adds=P(env_axis),
+        )
+
+    def to_local(self, g: PrioritizedReplayState) -> PrioritizedReplayState:
+        return PrioritizedReplayState(
+            storage=g.storage,
+            priorities=g.priorities,
+            max_priority=g.max_priority[0],
+            cursor=g.cursor[0],
+            total_adds=g.total_adds[0],
+        )
+
+    def to_global(self, l: PrioritizedReplayState) -> PrioritizedReplayState:
+        one = lambda x: jnp.asarray(x)[None]
+        return PrioritizedReplayState(
+            storage=l.storage,
+            priorities=l.priorities,
+            max_priority=one(l.max_priority),
+            cursor=one(l.cursor),
+            total_adds=one(l.total_adds),
+        )
+
+
+# Uniform replay exposes the same protocol so the superstep is agnostic.
+def uniform_sample_with_info(replay, state: ReplayState, key, batch_size):
+    batch = replay.sample(state, key, batch_size)
+    weights = jnp.ones((batch_size,), jnp.float32)
+    return batch, None, weights

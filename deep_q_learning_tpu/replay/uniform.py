@@ -57,6 +57,8 @@ class ReplayState:
 class UniformReplay:
     """Uniform-sampling per-env ring buffer (functional; all ops jittable)."""
 
+    kind = "uniform"
+
     def __init__(self, num_envs: int, capacity_per_env: int):
         if capacity_per_env < 1:
             raise ValueError("capacity_per_env must be >= 1")
@@ -115,3 +117,36 @@ class UniformReplay:
         """True once at least ``min_transitions`` total transitions are stored
         (the reference's ``training_start`` gate, q_agent.py:186)."""
         return (state.filled * self.num_envs) >= min_transitions
+
+    # ------------------------------------------------- common replay protocol
+    def sample_with_info(self, state: ReplayState, key: jax.Array, batch_size: int):
+        """(batch, info, importance_weights) — uniform: no info, unit weights."""
+        batch = self.sample(state, key, batch_size)
+        return batch, None, jnp.ones((batch_size,), jnp.float32)
+
+    def update_priorities(self, state: ReplayState, info, td_errors) -> ReplayState:
+        return state  # uniform replay has no priorities
+
+    # -------------------------------------------------- mesh-sharding mapping
+    def shard_specs(self, example: ReplayState, env_axis: str):
+        """PartitionSpec pytree: storage sharded on the env axis; scalar
+        counters get one slot per shard (see ``parallel/distributed.py``)."""
+        from jax.sharding import PartitionSpec as P
+
+        return ReplayState(
+            storage=jax.tree.map(lambda _: P(env_axis), example.storage),
+            cursor=P(env_axis),
+            total_adds=P(env_axis),
+        )
+
+    def to_local(self, g: ReplayState) -> ReplayState:
+        return ReplayState(
+            storage=g.storage, cursor=g.cursor[0], total_adds=g.total_adds[0]
+        )
+
+    def to_global(self, l: ReplayState) -> ReplayState:
+        return ReplayState(
+            storage=l.storage,
+            cursor=jnp.asarray(l.cursor)[None],
+            total_adds=jnp.asarray(l.total_adds)[None],
+        )

@@ -26,7 +26,7 @@ import numpy as np
 from deep_q_learning_tpu.config import DQNConfig
 from deep_q_learning_tpu.envs import VectorEnv, make_env
 from deep_q_learning_tpu.models import QNetwork
-from deep_q_learning_tpu.replay import UniformReplay
+from deep_q_learning_tpu.replay import make_replay
 from deep_q_learning_tpu.algos import build_superstep, make_optimizer
 from deep_q_learning_tpu.algos.evaluate import build_evaluator
 from deep_q_learning_tpu.utils import checkpoint as ckpt
@@ -61,7 +61,7 @@ class Trainer:
             compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
         )
         self.optimizer = make_optimizer(cfg)
-        self.replay = UniformReplay(cfg.num_envs, cfg.capacity_per_env)
+        self.replay = make_replay(cfg)
         self._init_runner, superstep = build_superstep(
             self.venv, self.env_params, self.network, self.optimizer, self.replay, cfg
         )
