@@ -135,6 +135,13 @@ def build_update_step(
 
     if cfg.use_pallas:
         # Fused Pallas TD+loss path; same interface, custom VJP inside.
+        if cfg.loss != "huber":
+            raise ValueError("use_pallas=True supports loss='huber' only")
+        if cfg.ref_terminal_quirk:
+            raise ValueError(
+                "use_pallas=True implements the FIXED terminal semantics; "
+                "disable ref_terminal_quirk (SURVEY.md §3.2)"
+            )
         from deep_q_learning_tpu.ops.td_kernels import build_pallas_loss_fn
 
         loss_fn = build_pallas_loss_fn(
@@ -143,6 +150,9 @@ def build_update_step(
             double=cfg.double,
             huber_delta=cfg.huber_delta,
             truncation_bootstrap=cfg.truncation_bootstrap,
+            # CPU backend (tests / fake mesh) runs the same kernel through the
+            # Pallas interpreter; TPU compiles it with Mosaic
+            interpret=jax.default_backend() == "cpu",
         )
 
     def update(
