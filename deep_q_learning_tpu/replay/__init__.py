@@ -14,6 +14,7 @@ def make_replay(cfg, num_envs=None):
         return UniformReplay(n, cap)
     elif cfg.replay == "prioritized":
         return PrioritizedReplay(
-            n, cap, alpha=cfg.per_alpha, beta=cfg.per_beta, eps=cfg.per_eps
+            n, cap, alpha=cfg.per_alpha, beta=cfg.per_beta, eps=cfg.per_eps,
+            use_pallas=cfg.use_pallas,
         )
     raise ValueError(f"unknown replay {cfg.replay!r}")

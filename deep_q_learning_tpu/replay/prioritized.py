@@ -10,10 +10,10 @@ TPU-native layout: priorities live beside the ring storage as a dense
 ``(num_envs, capacity_per_env)`` array.  Sampling is a two-level categorical —
 (1) pick envs ∝ per-env priority sums, (2) pick slots within each chosen env
 row — implemented with cumulative sums + searchsorted, which vectorizes onto
-the VPU with no host sync and no tree pointer-chasing.  (A classic log-depth
-sum-tree descent exists as a Pallas kernel in ``ops/sumtree_kernels.py``; the
-two-level form is the default because dense row cumsums are bandwidth-trivial
-at these shapes and XLA fuses them into the superstep.)
+the VPU with no host sync and no tree pointer-chasing.  (With ``use_pallas=True`` the index
+selection runs as one Pallas kernel — ``ops/sample_kernels.py`` — that
+recasts the row gather and selection as one-hot matmuls on the MXU; the jnp
+form is the default/fallback and XLA fuses it into the superstep.)
 """
 
 from __future__ import annotations
@@ -66,12 +66,16 @@ class PrioritizedReplay:
         alpha: float = 0.6,
         beta: float = 0.4,
         eps: float = 1e-6,
+        use_pallas: bool = False,
     ):
         self.num_envs = num_envs
         self.capacity_per_env = capacity_per_env
         self.alpha = alpha
         self.beta = beta
         self.eps = eps
+        # route index selection through the Pallas sampling kernel
+        # (ops/sample_kernels.py); jnp path is the default/fallback
+        self.use_pallas = use_pallas
 
     # ----------------------------------------------------------------- init
     def init(self, example: Transition) -> PrioritizedReplayState:
@@ -116,34 +120,43 @@ class PrioritizedReplay:
         self, state: PrioritizedReplayState, key: jax.Array, batch_size: int
     ) -> Tuple[Transition, SampleInfo, jax.Array]:
         """Two-level proportional sampling; returns (batch, info, weights)."""
-        env_key, slot_key = jax.random.split(key)
         p = state.priorities  # zeros outside the filled region by invariant
 
-        # level 1: env rows ∝ row sums
-        row_sums = jnp.sum(p, axis=1)  # (N,)
-        row_cdf = jnp.cumsum(row_sums)
-        total = row_cdf[-1]
-        u_env = jax.random.uniform(env_key, (batch_size,)) * total
-        env_idx = jnp.searchsorted(row_cdf, u_env, side="right").astype(jnp.int32)
-        env_idx = jnp.minimum(env_idx, self.num_envs - 1)
-
-        # level 2: slot within each chosen row ∝ row priorities
-        rows = p[env_idx]  # (B, C) gather
-        row_cdfs = jnp.cumsum(rows, axis=1)
-        row_tot = row_cdfs[:, -1]
-        u_slot = jax.random.uniform(slot_key, (batch_size,)) * row_tot
-        slot_idx = jnp.int32(
-            jax.vmap(lambda cdf, u: jnp.searchsorted(cdf, u, side="right"))(
-                row_cdfs, u_slot
+        if self.use_pallas:
+            from deep_q_learning_tpu.ops.sample_kernels import (
+                prioritized_sample_pallas,
             )
-        )
-        slot_idx = jnp.minimum(slot_idx, self.capacity_per_env - 1)
+
+            env_idx, slot_idx, p_sel = prioritized_sample_pallas(
+                p, key, batch_size, interpret=jax.default_backend() == "cpu"
+            )
+        else:
+            env_key, slot_key = jax.random.split(key)
+            # level 1: env rows ∝ row sums
+            row_sums = jnp.sum(p, axis=1)  # (N,)
+            row_cdf = jnp.cumsum(row_sums)
+            total = row_cdf[-1]
+            u_env = jax.random.uniform(env_key, (batch_size,)) * total
+            env_idx = jnp.searchsorted(row_cdf, u_env, side="right").astype(jnp.int32)
+            env_idx = jnp.minimum(env_idx, self.num_envs - 1)
+
+            # level 2: slot within each chosen row ∝ row priorities
+            rows = p[env_idx]  # (B, C) gather
+            row_cdfs = jnp.cumsum(rows, axis=1)
+            row_tot = row_cdfs[:, -1]
+            u_slot = jax.random.uniform(slot_key, (batch_size,)) * row_tot
+            slot_idx = jnp.int32(
+                jax.vmap(lambda cdf, u: jnp.searchsorted(cdf, u, side="right"))(
+                    row_cdfs, u_slot
+                )
+            )
+            slot_idx = jnp.minimum(slot_idx, self.capacity_per_env - 1)
+            p_sel = p[env_idx, slot_idx] / jnp.maximum(total, 1e-12)
 
         batch = jax.tree.map(lambda buf: buf[env_idx, slot_idx], state.storage)
 
         # importance weights: w = (1/(n·P))^β, normalized by batch max
         n_valid = (state.filled * self.num_envs).astype(jnp.float32)
-        p_sel = p[env_idx, slot_idx] / jnp.maximum(total, 1e-12)
         w = (1.0 / jnp.maximum(n_valid * p_sel, 1e-12)) ** self.beta
         w = w / jnp.maximum(jnp.max(w), 1e-12)
         return batch, SampleInfo(env_idx, slot_idx), w.astype(jnp.float32)

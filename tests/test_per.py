@@ -142,3 +142,37 @@ def test_per_distributed_runs():
         shards = [np.asarray(s.data) for s in leaf.addressable_shards]
         for s in shards[1:]:
             np.testing.assert_array_equal(shards[0], s)
+
+
+def test_pallas_sampler_matches_distribution():
+    """The Pallas sampling kernel (interpret mode) must produce the same
+    proportional distribution as the jnp two-level sampler."""
+    replay_j = PrioritizedReplay(2, 4, alpha=1.0)
+    replay_p = PrioritizedReplay(2, 4, alpha=1.0, use_pallas=True)
+    state = replay_j.init(make_transition(2, 0))
+    for t in range(4):
+        state = replay_j.add(state, make_transition(2, t))
+    pri = jnp.array([[1.0, 1.0, 1.0, 1.0], [1.0, 1.0, 1.0, 8.0]])
+    state = state.replace(priorities=pri)
+
+    _, info_p, w_p = replay_p.sample_with_info(state, jax.random.PRNGKey(0), 8192)
+    sel = (np.asarray(info_p.env_idx) == 1) & (np.asarray(info_p.slot_idx) == 3)
+    assert 0.45 < sel.mean() < 0.60, f"pallas sampler off: {sel.mean()}"
+    # importance weight of the heavy cell must be the batch max normalizer
+    heavy_w = np.asarray(w_p)[sel]
+    light_w = np.asarray(w_p)[~sel]
+    assert heavy_w.max() < light_w.min()  # heavy cell downweighted
+
+
+def test_pallas_sampler_in_superstep():
+    from deep_q_learning_tpu.train import Trainer
+
+    cfg = DQNConfig(
+        env_id="CartPole-v1", num_envs=8, steps_per_superstep=8, batch_size=16,
+        training_start=16, buffer_capacity=512, replay="prioritized",
+        double=False, dueling=False, hidden=(16,), train_every=1,
+        eps_schedule="linear_step", return_window=8, use_pallas=True,
+    )
+    tr = Trainer(cfg).init()
+    res = tr.train(max_env_steps=256, log_every=1, verbose=False)
+    assert np.isfinite(res.history[-1]["loss"])
