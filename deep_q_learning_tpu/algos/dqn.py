@@ -19,7 +19,7 @@ import optax
 from flax import struct
 
 from deep_q_learning_tpu.config import DQNConfig
-from deep_q_learning_tpu.envs.base import Transition
+from deep_q_learning_tpu.replay.nstep import LearnBatch
 from deep_q_learning_tpu.algos.losses import build_loss_fn
 
 
@@ -123,14 +123,14 @@ def build_update_step(
     and the loss are ``pmean``-ed across shards so the replicated learner
     stays bit-identical on every device — the ICI all-reduce of the design
     (SURVEY.md §5.8)."""
+    if cfg.ref_terminal_quirk and cfg.n_step != 1:
+        raise ValueError("ref_terminal_quirk reproduces 1-step semantics; set n_step=1")
     loss_fn = build_loss_fn(
         apply_fn,
-        gamma=cfg.gamma,
         double=cfg.double,
         loss=cfg.loss,
         huber_delta=cfg.huber_delta,
         ref_terminal_quirk=cfg.ref_terminal_quirk,
-        truncation_bootstrap=cfg.truncation_bootstrap,
     )
 
     if cfg.use_pallas:
@@ -146,17 +146,15 @@ def build_update_step(
 
         loss_fn = build_pallas_loss_fn(
             apply_fn,
-            gamma=cfg.gamma,
             double=cfg.double,
             huber_delta=cfg.huber_delta,
-            truncation_bootstrap=cfg.truncation_bootstrap,
             # CPU backend (tests / fake mesh) runs the same kernel through the
             # Pallas interpreter; TPU compiles it with Mosaic
             interpret=jax.default_backend() == "cpu",
         )
 
     def update(
-        ts: TrainState, batch: Transition, weights: jax.Array
+        ts: TrainState, batch: LearnBatch, weights: jax.Array
     ) -> Tuple[TrainState, jax.Array, jax.Array]:
         (loss, td_err), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             ts.params, ts.target_params, batch, weights
@@ -166,10 +164,19 @@ def build_update_step(
             loss = jax.lax.pmean(loss, axis_name)
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
+        if cfg.target_tau is not None:
+            # Polyak soft target update every gradient step (alternative to
+            # the reference's periodic hard copy, q_agent.py:143-144)
+            tau = cfg.target_tau
+            target_params = jax.tree.map(
+                lambda t, p: (1.0 - tau) * t + tau * p, ts.target_params, params
+            )
+        else:
+            target_params = ts.target_params
         return (
             TrainState(
                 params=params,
-                target_params=ts.target_params,
+                target_params=target_params,
                 opt_state=opt_state,
                 updates=ts.updates + 1,
             ),

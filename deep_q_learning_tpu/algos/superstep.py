@@ -186,7 +186,11 @@ def build_superstep(
 
     def _maybe_sync(runner_train, episodes, last_sync, env_step):
         """Hard target sync on the configured cadence (ref: every
-        ``replace_frequency`` episodes, q_agent.py:192-193)."""
+        ``replace_frequency`` episodes, q_agent.py:192-193).  With
+        ``cfg.target_tau`` set, soft updates happen inside the gradient step
+        instead and the periodic hard copy is disabled."""
+        if cfg.target_tau is not None:
+            return runner_train, last_sync
         if cfg.target_sync_mode == "steps":
             do_sync = env_step % cfg.target_sync_every == 0
             new_last = last_sync

@@ -31,6 +31,7 @@ class DQNConfig:
     double: bool = True  # double Q-learning (ref q_learning_functions.py:55-58)
     dueling: bool = True  # dueling head (ref dddqn.py:29-31)
     gamma: float = 0.99
+    n_step: int = 1  # n-step returns assembled at sample time (replay/nstep.py)
     batch_size: int = 64
     loss: str = "huber"  # "huber" | "mse"
     huber_delta: float = 1.0
@@ -65,6 +66,8 @@ class DQNConfig:
     target_sync_mode: str = "steps"  # "steps" | "episodes" (ref: episodes)
     target_sync_every: int = 500  # used in "steps" mode
     target_replace_episodes: int = 20  # ref replace_frequency (q_agent.py:192)
+    target_tau: Optional[float] = None  # if set: Polyak soft update every
+    # update step (target <- tau*online + (1-tau)*target) instead of hard sync
 
     # --- network ----------------------------------------------------------
     hidden: Tuple[int, ...] = (256, 256)

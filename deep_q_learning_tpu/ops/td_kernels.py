@@ -9,7 +9,8 @@ VMEM-resident pass:
 
     a*     = argmax_a Q_online(s', a)                (double-DQN action)
     boot   = Q_target(s', a*)
-    y      = r + γ · nonterminal · boot
+    y      = G + bootstrap · boot        (bootstrap = γ^K · nonterminal,
+                                          folded by replay/nstep.py)
     td     = y - Q(s, a)
     loss   = mean( w · huber_δ(td) )
 
@@ -42,12 +43,11 @@ def _fwd_kernel(
     q_next_target_ref,
     action_ref,
     reward_ref,
-    nonterm_ref,
+    bootstrap_ref,
     weights_ref,
     loss_ref,
     td_ref,
     *,
-    gamma: float,
     delta: float,
     double: bool,
     num_actions: int,
@@ -69,9 +69,8 @@ def _fwd_kernel(
     else:
         boot = jnp.max(q_nt, axis=1)
 
-    reward = reward_ref[:]  # (B,)
-    nonterm = nonterm_ref[:]
-    y = reward + gamma * nonterm * boot
+    reward = reward_ref[:]  # (B,) n-step return G
+    y = reward + bootstrap_ref[:] * boot
 
     onehot_a = (col == action_ref[:][:, None]).astype(jnp.float32)
     q_taken = jnp.sum(jnp.where(valid, q_s * onehot_a, 0.0), axis=1)
@@ -106,7 +105,7 @@ def _bwd_kernel(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9)
 )
 def fused_td_loss(
     q_s: jax.Array,
@@ -114,9 +113,8 @@ def fused_td_loss(
     q_next_target: jax.Array,
     action: jax.Array,
     reward: jax.Array,
-    nonterm: jax.Array,
+    bootstrap: jax.Array,
     weights: jax.Array,
-    gamma: float,
     delta: float = 1.0,
     double: bool = True,
     interpret: bool = False,
@@ -124,17 +122,17 @@ def fused_td_loss(
     """Returns ``(loss, td_errors)``; differentiable in ``q_s`` only (targets
     are semantically stop-gradiented, as in the jnp reference path)."""
     loss, td = _run_fwd(
-        q_s, q_next_online, q_next_target, action, reward, nonterm, weights,
-        gamma, delta, double, interpret,
+        q_s, q_next_online, q_next_target, action, reward, bootstrap, weights,
+        delta, double, interpret,
     )
     return loss, td
 
 
-def _run_fwd(q_s, q_next_online, q_next_target, action, reward, nonterm,
-             weights, gamma, delta, double, interpret):
+def _run_fwd(q_s, q_next_online, q_next_target, action, reward, bootstrap,
+             weights, delta, double, interpret):
     b, a = q_s.shape
     kernel = functools.partial(
-        _fwd_kernel, gamma=gamma, delta=delta, double=double, num_actions=a
+        _fwd_kernel, delta=delta, double=double, num_actions=a
     )
     loss, td = pl.pallas_call(
         kernel,
@@ -147,8 +145,8 @@ def _run_fwd(q_s, q_next_online, q_next_target, action, reward, nonterm,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q_next_online
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q_next_target
             pl.BlockSpec(memory_space=pltpu.VMEM),  # action
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # reward
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # nonterm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # reward (G)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bootstrap
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
         ],
         out_specs=(
@@ -156,20 +154,20 @@ def _run_fwd(q_s, q_next_online, q_next_target, action, reward, nonterm,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(q_s, q_next_online, q_next_target, action, reward, nonterm, weights)
+    )(q_s, q_next_online, q_next_target, action, reward, bootstrap, weights)
     return loss[0, 0], td
 
 
-def _fwd_rule(q_s, q_next_online, q_next_target, action, reward, nonterm,
-              weights, gamma, delta, double, interpret):
+def _fwd_rule(q_s, q_next_online, q_next_target, action, reward, bootstrap,
+              weights, delta, double, interpret):
     loss, td = _run_fwd(
-        q_s, q_next_online, q_next_target, action, reward, nonterm, weights,
-        gamma, delta, double, interpret,
+        q_s, q_next_online, q_next_target, action, reward, bootstrap, weights,
+        delta, double, interpret,
     )
     return (loss, td), (td, action, weights, q_s.shape)
 
 
-def _bwd_rule(gamma, delta, double, interpret, res, cotangents):
+def _bwd_rule(delta, double, interpret, res, cotangents):
     td, action, weights, qs_shape = res
     g_loss, _g_td = cotangents  # td output treated as non-differentiable aux
     b, a = qs_shape
@@ -193,7 +191,7 @@ def _bwd_rule(gamma, delta, double, interpret, res, cotangents):
         zeros((b, a)),  # q_next_target (stopped)
         None,  # action (int)
         zeros((b,)),  # reward (stopped)
-        zeros((b,)),  # nonterm (stopped)
+        zeros((b,)),  # bootstrap (stopped)
         zeros((b,)),  # weights (treated as constants)
     )
 
@@ -207,15 +205,14 @@ fused_td_loss.defvjp(_fwd_rule, _bwd_rule)
 
 def build_pallas_loss_fn(
     apply_fn,
-    gamma: float,
     double: bool = True,
     huber_delta: float = 1.0,
-    truncation_bootstrap: bool = True,
     interpret: bool = False,
 ):
     """Drop-in replacement for ``build_loss_fn`` (huber only) that routes the
     TD+loss math through the fused Pallas kernel.  The network forwards stay
-    in XLA where the MXU already runs them optimally."""
+    in XLA where the MXU already runs them optimally.  Consumes a
+    ``LearnBatch`` (n-step return + bootstrap factor from replay/nstep.py)."""
 
     def loss_fn(params, target_params, batch, weights):
         obs, next_obs = batch.obs, batch.next_obs
@@ -224,20 +221,14 @@ def build_pallas_loss_fn(
         b = obs.shape[0]
         q_s, q_next_online = q_both[:b], q_both[b:]
         q_next_target = apply_fn(target_params, next_obs)
-        if truncation_bootstrap:
-            done_td = batch.terminated
-        else:
-            done_td = jnp.logical_or(batch.terminated, batch.truncated)
-        nonterm = 1.0 - done_td.astype(jnp.float32)
         loss, td = fused_td_loss(
             q_s,
             jax.lax.stop_gradient(q_next_online),
             q_next_target,
             batch.action.astype(jnp.int32),
             batch.reward,
-            nonterm,
+            batch.bootstrap,
             weights,
-            gamma,
             huber_delta,
             double,
             interpret,

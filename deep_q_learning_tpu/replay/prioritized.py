@@ -67,12 +67,18 @@ class PrioritizedReplay:
         beta: float = 0.4,
         eps: float = 1e-6,
         use_pallas: bool = False,
+        gamma: float = 0.99,
+        n_step: int = 1,
+        truncation_bootstrap: bool = True,
     ):
         self.num_envs = num_envs
         self.capacity_per_env = capacity_per_env
         self.alpha = alpha
         self.beta = beta
         self.eps = eps
+        self.gamma = gamma
+        self.n_step = n_step
+        self.truncation_bootstrap = truncation_bootstrap
         # route index selection through the Pallas sampling kernel
         # (ops/sample_kernels.py); jnp path is the default/fallback
         self.use_pallas = use_pallas
@@ -120,7 +126,16 @@ class PrioritizedReplay:
         self, state: PrioritizedReplayState, key: jax.Array, batch_size: int
     ) -> Tuple[Transition, SampleInfo, jax.Array]:
         """Two-level proportional sampling; returns (batch, info, weights)."""
-        p = state.priorities  # zeros outside the filled region by invariant
+        from deep_q_learning_tpu.replay.nstep import (
+            assemble_learn_batch,
+            valid_slot_mask,
+        )
+
+        # zero the newest n-1 slots so n-step windows never cross the cursor
+        mask = valid_slot_mask(
+            self.capacity_per_env, state.cursor, state.filled, self.n_step
+        )
+        p = state.priorities * mask[None, :].astype(jnp.float32)
 
         if self.use_pallas:
             from deep_q_learning_tpu.ops.sample_kernels import (
@@ -153,7 +168,10 @@ class PrioritizedReplay:
             slot_idx = jnp.minimum(slot_idx, self.capacity_per_env - 1)
             p_sel = p[env_idx, slot_idx] / jnp.maximum(total, 1e-12)
 
-        batch = jax.tree.map(lambda buf: buf[env_idx, slot_idx], state.storage)
+        batch = assemble_learn_batch(
+            state.storage, env_idx, slot_idx,
+            self.gamma, self.n_step, self.truncation_bootstrap,
+        )
 
         # importance weights: w = (1/(n·P))^β, normalized by batch max
         n_valid = (state.filled * self.num_envs).astype(jnp.float32)

@@ -59,11 +59,23 @@ class UniformReplay:
 
     kind = "uniform"
 
-    def __init__(self, num_envs: int, capacity_per_env: int):
+    def __init__(
+        self,
+        num_envs: int,
+        capacity_per_env: int,
+        gamma: float = 0.99,
+        n_step: int = 1,
+        truncation_bootstrap: bool = True,
+    ):
         if capacity_per_env < 1:
             raise ValueError("capacity_per_env must be >= 1")
+        if not 1 <= n_step <= capacity_per_env:
+            raise ValueError(f"n_step={n_step} out of range for capacity {capacity_per_env}")
         self.num_envs = num_envs
         self.capacity_per_env = capacity_per_env
+        self.gamma = gamma
+        self.n_step = n_step
+        self.truncation_bootstrap = truncation_bootstrap
 
     # ----------------------------------------------------------------- init
     def init(self, example: Transition) -> ReplayState:
@@ -120,8 +132,21 @@ class UniformReplay:
 
     # ------------------------------------------------- common replay protocol
     def sample_with_info(self, state: ReplayState, key: jax.Array, batch_size: int):
-        """(batch, info, importance_weights) — uniform: no info, unit weights."""
-        batch = self.sample(state, key, batch_size)
+        """(LearnBatch, info, importance_weights) — uniform: no info, unit
+        weights.  Slots are drawn in AGE order so the n-step window never
+        crosses the write cursor (replay/nstep.py)."""
+        from deep_q_learning_tpu.replay.nstep import assemble_learn_batch
+
+        env_key, slot_key = jax.random.split(key)
+        env_idx = jax.random.randint(env_key, (batch_size,), 0, self.num_envs)
+        max_rank = jnp.maximum(state.filled - (self.n_step - 1), 1)
+        rank = jax.random.randint(slot_key, (batch_size,), 0, max_rank)
+        start = jnp.mod(state.cursor - state.filled, self.capacity_per_env)
+        slot_idx = jnp.mod(start + rank, self.capacity_per_env)
+        batch = assemble_learn_batch(
+            state.storage, env_idx, slot_idx,
+            self.gamma, self.n_step, self.truncation_bootstrap,
+        )
         return batch, None, jnp.ones((batch_size,), jnp.float32)
 
     def update_priorities(self, state: ReplayState, info, td_errors) -> ReplayState:

@@ -1,4 +1,4 @@
-"""Loss/target semantics tests.
+"""Loss/target semantics tests over LearnBatch.
 
 Checks the vectorized TD machinery against (a) optax's huber, (b) an
 independent per-sample transcription of the reference's target formula
@@ -12,7 +12,7 @@ import numpy as np
 import optax
 import pytest
 
-from deep_q_learning_tpu.envs.base import Transition
+from deep_q_learning_tpu.replay.nstep import LearnBatch
 from deep_q_learning_tpu.algos.losses import build_loss_fn, huber, td_targets
 
 
@@ -28,16 +28,16 @@ def test_td_targets_double_vs_vanilla():
     q_on = jax.random.normal(key, (5, 3))
     q_tg = jax.random.normal(jax.random.PRNGKey(1), (5, 3))
     r = jnp.arange(5, dtype=jnp.float32)
-    nonterm = jnp.array([1, 1, 0, 1, 0], jnp.float32)
     gamma = 0.9
+    bootstrap = gamma * jnp.array([1, 1, 0, 1, 0], jnp.float32)
 
-    t_double = td_targets(q_on, q_tg, r, nonterm, gamma, double=True)
-    t_vanilla = td_targets(q_on, q_tg, r, nonterm, gamma, double=False)
+    t_double = td_targets(q_on, q_tg, r, bootstrap, double=True)
+    t_vanilla = td_targets(q_on, q_tg, r, bootstrap, double=False)
 
     for i in range(5):
         a_star = int(jnp.argmax(q_on[i]))
-        expect_d = float(r[i] + gamma * nonterm[i] * q_tg[i, a_star])
-        expect_v = float(r[i] + gamma * nonterm[i] * jnp.max(q_tg[i]))
+        expect_d = float(r[i] + bootstrap[i] * q_tg[i, a_star])
+        expect_v = float(r[i] + bootstrap[i] * jnp.max(q_tg[i]))
         np.testing.assert_allclose(float(t_double[i]), expect_d, rtol=1e-6)
         np.testing.assert_allclose(float(t_vanilla[i]), expect_v, rtol=1e-6)
     # terminal rows: target is just the reward
@@ -48,15 +48,15 @@ def _linear_apply(params, x):
     return x @ params["w"] + params["b"]
 
 
-def _make_batch(key, b=16, d=6, a=4):
+def _make_batch(key, b=16, d=6, a=4, gamma=0.9, term_p=0.3):
     ks = jax.random.split(key, 5)
-    return Transition(
+    terminated = jax.random.bernoulli(ks[4], term_p, (b,))
+    return LearnBatch(
         obs=jax.random.normal(ks[0], (b, d)),
         action=jax.random.randint(ks[1], (b,), 0, a),
         reward=jax.random.normal(ks[2], (b,)),
         next_obs=jax.random.normal(ks[3], (b, d)),
-        terminated=jax.random.bernoulli(ks[4], 0.3, (b,)),
-        truncated=jnp.zeros((b,), bool),
+        bootstrap=gamma * (1.0 - terminated.astype(jnp.float32)),
     )
 
 
@@ -68,15 +68,12 @@ def _make_params(key, d=6, a=4):
 
 
 def test_ref_formula_transcription():
-    """Our ref_terminal_quirk path must equal a direct per-sample evaluation
+    """The ref_terminal_quirk path must equal a direct per-sample evaluation
     of the reference's formula: target_val = r + (1-d)(γ·q_tm[a*] - q[a]);
     q_target[a] = q[a] + target_val."""
     params, target = _make_params(jax.random.PRNGKey(0))
-    batch = _make_batch(jax.random.PRNGKey(1))
-    loss_fn = build_loss_fn(
-        _linear_apply, gamma=0.9, double=True,
-        ref_terminal_quirk=True, truncation_bootstrap=False,
-    )
+    batch = _make_batch(jax.random.PRNGKey(1), gamma=0.9)
+    loss_fn = build_loss_fn(_linear_apply, double=True, ref_terminal_quirk=True)
     _, td_err = loss_fn(params, target, batch, jnp.ones((16,)))
 
     q = _linear_apply(params, batch.obs)
@@ -84,12 +81,11 @@ def test_ref_formula_transcription():
     nq_tm = _linear_apply(target, batch.next_obs)
     for i in range(16):
         a = int(batch.action[i])
-        d = float(batch.terminated[i])
+        d = 0.0 if float(batch.bootstrap[i]) > 0 else 1.0
         a_star = int(jnp.argmax(nq[i]))
         target_val = float(batch.reward[i]) + (1 - d) * (
             0.9 * float(nq_tm[i, a_star]) - float(q[i, a])
         )
-        # reference target at the taken action = q[a] + target_val
         expect_err = (float(q[i, a]) + target_val) - float(q[i, a])
         np.testing.assert_allclose(float(td_err[i]), expect_err, rtol=1e-4, atol=1e-5)
 
@@ -100,12 +96,9 @@ def test_gather_loss_equals_full_vector_regression_gradients():
     That is gradient-identical to our gather-at-action loss when the target is
     stopped — verify on a linear model."""
     params, target = _make_params(jax.random.PRNGKey(2))
-    batch = _make_batch(jax.random.PRNGKey(3))
+    batch = _make_batch(jax.random.PRNGKey(3), gamma=0.9)
 
-    loss_fn = build_loss_fn(
-        _linear_apply, gamma=0.9, double=True,
-        ref_terminal_quirk=False, truncation_bootstrap=True,
-    )
+    loss_fn = build_loss_fn(_linear_apply, double=True)
 
     def ours(p):
         loss, _ = loss_fn(p, target, batch, jnp.ones((16,)))
@@ -117,11 +110,9 @@ def test_gather_loss_equals_full_vector_regression_gradients():
         nq_tm = _linear_apply(target, batch.next_obs)
         a_star = jnp.argmax(nq, axis=1)
         boot = jnp.take_along_axis(nq_tm, a_star[:, None], 1)[:, 0]
-        nonterm = 1.0 - batch.terminated.astype(jnp.float32)
-        scalar_t = batch.reward + 0.9 * nonterm * boot
+        scalar_t = batch.reward + batch.bootstrap * boot
         q_taken = jnp.take_along_axis(q, batch.action[:, None], 1)[:, 0]
         delta = jax.lax.stop_gradient(scalar_t) - jax.lax.stop_gradient(q_taken)
-        # full-vector target: q everywhere except taken action gets q+delta
         q_target = jax.lax.stop_gradient(q) + delta[:, None] * jax.nn.one_hot(
             batch.action, 4
         )
@@ -129,8 +120,6 @@ def test_gather_loss_equals_full_vector_regression_gradients():
 
     g_ours = jax.grad(ours)(params)
     g_ref = jax.grad(full_vector)(params)
-    # full-vector sums per-sample (not means) over the action axis; our loss is
-    # the mean of the single non-zero entry -> same gradient direction & value
     np.testing.assert_allclose(
         np.asarray(g_ours["w"]), np.asarray(g_ref["w"]), rtol=1e-4, atol=1e-5
     )
@@ -139,22 +128,14 @@ def test_gather_loss_equals_full_vector_regression_gradients():
     )
 
 
-def test_truncation_bootstrap_flag():
+def test_terminal_vs_bootstrap_errors():
+    """bootstrap=0 rows regress exactly toward the reward."""
     params, target = _make_params(jax.random.PRNGKey(4))
-    batch = _make_batch(jax.random.PRNGKey(5))
-    batch = batch.replace(
-        terminated=jnp.zeros((16,), bool),
-        truncated=jnp.ones((16,), bool),
-    )
-    fixed = build_loss_fn(_linear_apply, gamma=0.9, truncation_bootstrap=True)
-    refc = build_loss_fn(_linear_apply, gamma=0.9, truncation_bootstrap=False)
-    _, err_fixed = fixed(params, target, batch, jnp.ones((16,)))
-    _, err_ref = refc(params, target, batch, jnp.ones((16,)))
-    # fixed: bootstraps through truncation; ref-compat: cuts it -> different
-    assert not np.allclose(np.asarray(err_fixed), np.asarray(err_ref))
-    # ref-compat error must equal r - q[a]
+    batch = _make_batch(jax.random.PRNGKey(5), term_p=1.0)  # all terminal
+    loss_fn = build_loss_fn(_linear_apply)
+    _, err = loss_fn(params, target, batch, jnp.ones((16,)))
     q = _linear_apply(params, batch.obs)
     q_taken = np.take_along_axis(np.asarray(q), np.asarray(batch.action)[:, None], 1)[:, 0]
     np.testing.assert_allclose(
-        np.asarray(err_ref), np.asarray(batch.reward) - q_taken, rtol=1e-5, atol=1e-6
+        np.asarray(err), np.asarray(batch.reward) - q_taken, rtol=1e-5, atol=1e-6
     )

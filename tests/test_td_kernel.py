@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from deep_q_learning_tpu.envs.base import Transition
+from deep_q_learning_tpu.replay.nstep import LearnBatch
 from deep_q_learning_tpu.algos.losses import build_loss_fn
 from deep_q_learning_tpu.ops.td_kernels import build_pallas_loss_fn
 
@@ -17,15 +17,15 @@ def _linear_apply(params, x):
     return x @ params["w"] + params["b"]
 
 
-def _make(key, b=64, d=6, a=4):
+def _make(key, b=64, d=6, a=4, gamma=0.93):
     ks = jax.random.split(key, 9)
-    batch = Transition(
+    terminated = jax.random.bernoulli(ks[4], 0.3, (b,))
+    batch = LearnBatch(
         obs=jax.random.normal(ks[0], (b, d)),
         action=jax.random.randint(ks[1], (b,), 0, a),
         reward=jax.random.normal(ks[2], (b,)),
         next_obs=jax.random.normal(ks[3], (b, d)),
-        terminated=jax.random.bernoulli(ks[4], 0.3, (b,)),
-        truncated=jax.random.bernoulli(ks[8], 0.2, (b,)),
+        bootstrap=gamma * (1.0 - terminated.astype(jnp.float32)),
     )
     params = {"w": jax.random.normal(ks[5], (d, a)), "b": jax.random.normal(ks[6], (a,))}
     target = {"w": jax.random.normal(ks[7], (d, a)), "b": jnp.zeros((a,))}
@@ -36,14 +36,8 @@ def _make(key, b=64, d=6, a=4):
 @pytest.mark.parametrize("double", [True, False])
 def test_loss_and_td_match_jnp(double):
     params, target, batch, weights = _make(jax.random.PRNGKey(0))
-    ref = build_loss_fn(
-        _linear_apply, gamma=0.93, double=double, loss="huber",
-        huber_delta=1.0, truncation_bootstrap=True,
-    )
-    pal = build_pallas_loss_fn(
-        _linear_apply, gamma=0.93, double=double, huber_delta=1.0,
-        truncation_bootstrap=True, interpret=True,
-    )
+    ref = build_loss_fn(_linear_apply, double=double, loss="huber", huber_delta=1.0)
+    pal = build_pallas_loss_fn(_linear_apply, double=double, huber_delta=1.0, interpret=True)
     l_ref, td_ref = ref(params, target, batch, weights)
     l_pal, td_pal = pal(params, target, batch, weights)
     np.testing.assert_allclose(float(l_ref), float(l_pal), rtol=1e-5)
@@ -53,13 +47,8 @@ def test_loss_and_td_match_jnp(double):
 @pytest.mark.parametrize("double", [True, False])
 def test_gradients_match_jnp(double):
     params, target, batch, weights = _make(jax.random.PRNGKey(1))
-    ref = build_loss_fn(
-        _linear_apply, gamma=0.99, double=double, truncation_bootstrap=False,
-    )
-    pal = build_pallas_loss_fn(
-        _linear_apply, gamma=0.99, double=double, truncation_bootstrap=False,
-        interpret=True,
-    )
+    ref = build_loss_fn(_linear_apply, double=double)
+    pal = build_pallas_loss_fn(_linear_apply, double=double, interpret=True)
     g_ref = jax.grad(lambda p: ref(p, target, batch, weights)[0])(params)
     g_pal = jax.grad(lambda p: pal(p, target, batch, weights)[0])(params)
     np.testing.assert_allclose(
@@ -74,7 +63,7 @@ def test_huber_clipping_in_backward():
     """Gradient magnitude saturates at delta per unit weight."""
     params, target, batch, weights = _make(jax.random.PRNGKey(2))
     batch = batch.replace(reward=batch.reward + 100.0)  # huge td errors
-    pal = build_pallas_loss_fn(_linear_apply, gamma=0.99, huber_delta=1.0, interpret=True)
+    pal = build_pallas_loss_fn(_linear_apply, huber_delta=1.0, interpret=True)
     _, td = pal(params, target, batch, weights)
     assert float(jnp.min(jnp.abs(td))) > 1.0  # all in the linear regime
     g = jax.grad(lambda p: pal(p, target, batch, weights)[0])(params)
@@ -88,11 +77,10 @@ def test_huber_clipping_in_backward():
     q_s = _linear_apply(params, batch.obs)
     q_no = _linear_apply(params, batch.next_obs)
     q_nt = _linear_apply(target, batch.next_obs)
-    nonterm = 1.0 - batch.terminated.astype(jnp.float32)
     dq = jax.grad(
         lambda q: fused_td_loss(
-            q, q_no, q_nt, batch.action, batch.reward, nonterm, weights,
-            0.99, 1.0, True, True,
+            q, q_no, q_nt, batch.action, batch.reward, batch.bootstrap,
+            weights, 1.0, True, True,
         )[0]
     )(q_s)
     assert float(jnp.max(jnp.abs(dq))) <= bound
