@@ -150,29 +150,35 @@ def cartpole_vector() -> DQNConfig:
 
 def lunar_dddqn_vector() -> DQNConfig:
     """Config 3: LunarLander dueling double DQN, on-device uniform replay,
-    jit-fused step+update."""
+    jit-fused step+update.
+
+    Tuned on the v5e chip: n-step-3 + adam + Polyak τ=0.005 trains stably to
+    ~160 window / ~172 greedy eval at 100M env steps (1-step variants with
+    periodic hard sync peaked near 0 and then diverged — see CLAUDE.md)."""
     return DQNConfig(
         env_id="LunarLander-v2",
-        num_envs=1024,
-        steps_per_superstep=64,
+        num_envs=128,
+        steps_per_superstep=128,
         time_fraction_obs=True,
         max_steps_in_episode=1000,
         double=True,
         dueling=True,
         gamma=0.99,
-        batch_size=512,
+        n_step=3,
+        batch_size=256,
+        optimizer="adam",
         learning_rate=3e-4,
-        buffer_capacity=1 << 20,
+        max_grad_norm=10.0,
+        buffer_capacity=1 << 19,
         training_start=20_000,
         eps_schedule="linear_step",
         eps_start=1.0,
-        eps_min=0.05,
-        eps_decay_steps=500_000,
+        eps_min=0.02,
+        eps_decay_steps=300_000,
         train_every=1,
-        target_sync_mode="steps",
-        target_sync_every=500,
+        target_tau=0.005,
         hidden=(256, 256),
-        return_window=512,
+        return_window=256,
         solve_threshold=200.0,
     )
 

@@ -168,3 +168,79 @@ class Trainer:
         ckpt.save_params_pickle(
             directory, self.runner.train.params, self.runner.train.opt_state
         )
+
+
+class DistributedTrainer:
+    """Trainer over a device mesh: envs sharded, learner replicated,
+    gradients all-reduced over ICI (BASELINE config 5).
+
+    Same host-loop shape as :class:`Trainer`; metrics come back as per-shard
+    slots and are aggregated on the host (``parallel.aggregate_metrics``)."""
+
+    def __init__(self, cfg: DQNConfig, mesh=None, workdir: Optional[str] = None):
+        from deep_q_learning_tpu.parallel import (
+            build_distributed_superstep,
+            make_env_mesh,
+        )
+
+        self.cfg = cfg
+        self.workdir = workdir
+        self.mesh = mesh if mesh is not None else make_env_mesh()
+        self.num_shards = self.mesh.devices.size
+        self._init_runner, superstep, self.network = build_distributed_superstep(
+            cfg, self.mesh
+        )
+        self._superstep = jax.jit(superstep, donate_argnums=0)
+        self.runner = None
+        self.history: List[Dict[str, float]] = []
+
+    def init(self, seed: Optional[int] = None):
+        self.runner = self._init_runner(
+            jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        )
+        return self
+
+    def train(
+        self,
+        max_env_steps: int = 10_000_000,
+        log_every: int = 10,
+        verbose: bool = True,
+    ) -> TrainResult:
+        from deep_q_learning_tpu.parallel import aggregate_metrics
+
+        if self.runner is None:
+            self.init()
+        t0 = time.time()
+        i = 0
+        solved = False
+        agg = {}
+        last_steps, last_time = 0, t0
+        while True:
+            self.runner, m = self._superstep(self.runner)
+            i += 1
+            if i % log_every == 0:
+                agg = aggregate_metrics(m, self.cfg, self.num_shards)
+                now = time.time()
+                sps = (agg["env_steps"] - last_steps) / max(now - last_time, 1e-9)
+                last_steps, last_time = agg["env_steps"], now
+                rec = dict(agg, superstep=i, steps_per_s=sps, wall_s=now - t0)
+                self.history.append(rec)
+                if verbose:
+                    print(
+                        f"[{rec['wall_s']:7.1f}s] steps {agg['env_steps']/1e6:8.2f}M "
+                        f"episodes {agg['episodes']:7d} window {agg['window_mean']:8.2f} "
+                        f"eps {agg['epsilon']:.3f} loss {agg['loss']:.4f} "
+                        f"({sps/1e6:.2f}M steps/s)",
+                        flush=True,
+                    )
+                solved = agg["solved"]
+                if solved or agg["env_steps"] >= max_env_steps:
+                    break
+        return TrainResult(
+            solved=solved,
+            env_steps=agg["env_steps"],
+            episodes=agg["episodes"],
+            wall_time_s=time.time() - t0,
+            final_window_mean=agg["window_mean"],
+            history=self.history,
+        )

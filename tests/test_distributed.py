@@ -104,3 +104,13 @@ def test_graft_entry_compiles():
     fn, (params, obs) = g.entry()
     out = jax.jit(fn)(params, obs)
     assert out.shape == (obs.shape[0], 4)
+
+
+def test_distributed_trainer(mesh8):
+    from deep_q_learning_tpu.train import DistributedTrainer
+
+    tr = DistributedTrainer(CFG, mesh=mesh8).init()
+    res = tr.train(max_env_steps=2048, log_every=2, verbose=False)
+    assert res.env_steps >= 2048
+    assert res.episodes > 0
+    assert np.isfinite(res.history[-1]["loss"])
