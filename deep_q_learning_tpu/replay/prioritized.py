@@ -147,12 +147,17 @@ class PrioritizedReplay:
             )
         else:
             env_key, slot_key = jax.random.split(key)
-            # level 1: env rows ∝ row sums
+            # level 1: env rows ∝ row sums.  Rank-by-comparison-sum instead of
+            # jnp.searchsorted: the dense compare+reduce is trivial compute and
+            # lowers to tiny HLO, where batched searchsorted's binary-search
+            # lowering blows up TPU compile time.
             row_sums = jnp.sum(p, axis=1)  # (N,)
             row_cdf = jnp.cumsum(row_sums)
             total = row_cdf[-1]
             u_env = jax.random.uniform(env_key, (batch_size,)) * total
-            env_idx = jnp.searchsorted(row_cdf, u_env, side="right").astype(jnp.int32)
+            env_idx = jnp.sum(
+                (row_cdf[None, :] < u_env[:, None]).astype(jnp.int32), axis=1
+            )
             env_idx = jnp.minimum(env_idx, self.num_envs - 1)
 
             # level 2: slot within each chosen row ∝ row priorities
@@ -160,10 +165,8 @@ class PrioritizedReplay:
             row_cdfs = jnp.cumsum(rows, axis=1)
             row_tot = row_cdfs[:, -1]
             u_slot = jax.random.uniform(slot_key, (batch_size,)) * row_tot
-            slot_idx = jnp.int32(
-                jax.vmap(lambda cdf, u: jnp.searchsorted(cdf, u, side="right"))(
-                    row_cdfs, u_slot
-                )
+            slot_idx = jnp.sum(
+                (row_cdfs < u_slot[:, None]).astype(jnp.int32), axis=1
             )
             slot_idx = jnp.minimum(slot_idx, self.capacity_per_env - 1)
             p_sel = p[env_idx, slot_idx] / jnp.maximum(total, 1e-12)
