@@ -173,9 +173,13 @@ def build_superstep(
                 rstate = replay.update_priorities(rstate, info, td_err)
                 return rng, train, rstate, loss_sum + loss
 
-            rng, train, rstate, loss_sum = jax.lax.fori_loop(
-                0, cfg.updates_per_step, one, (rng, train, rstate, jnp.float32(0.0))
-            )
+            init = (rng, train, rstate, jnp.float32(0.0))
+            if cfg.updates_per_step == 1:  # common case: skip the loop layer
+                rng, train, rstate, loss_sum = one(0, init)
+            else:
+                rng, train, rstate, loss_sum = jax.lax.fori_loop(
+                    0, cfg.updates_per_step, one, init
+                )
             return train, rstate, loss_sum, jnp.float32(cfg.updates_per_step)
 
         def skip(args):

@@ -196,14 +196,14 @@ def build_distributed_superstep(
 def aggregate_metrics(m: SuperstepMetrics, cfg: DQNConfig, num_shards: int) -> dict:
     """Host-side reduction of per-shard metric slots to global numbers."""
     env_steps = int(np.asarray(m.env_steps)[0]) * cfg.num_envs  # lockstep: same per shard
-    filled = np.asarray(m.loss_count)
+    loss_counts = np.asarray(m.loss_count)
     window_mean = float(np.mean(np.asarray(m.window_mean)))
     return {
         "env_steps": env_steps,
         "episodes": int(np.sum(np.asarray(m.episodes))),
         "episodes_delta": int(np.sum(np.asarray(m.episodes_delta))),
         "return_sum_delta": float(np.sum(np.asarray(m.return_sum_delta))),
-        "loss": float(np.sum(np.asarray(m.loss_sum)) / max(np.sum(filled), 1.0)),
+        "loss": float(np.sum(np.asarray(m.loss_sum)) / max(np.sum(loss_counts), 1.0)),
         "window_mean": window_mean,
         "epsilon": float(np.asarray(m.epsilon)[0]),
         "solved": bool(np.all(np.asarray(m.solved))),
