@@ -184,12 +184,15 @@ def lunar_dddqn_vector() -> DQNConfig:
 
 
 def lunar_per() -> DQNConfig:
-    """Config 4: LunarLander DDQN + prioritized replay (device sum-tree)."""
+    """Config 4: LunarLander DDQN + prioritized replay (device two-level
+    proportional sampler).  The SOLVING config: window 202 / greedy eval 204
+    at 29.5M env steps in ~80s of TPU v5e compute (+ compile)."""
     return dataclasses.replace(
         lunar_dddqn_vector(),
         replay="prioritized",
         per_alpha=0.6,
         per_beta=0.4,
+        eps_min=0.01,
     )
 
 

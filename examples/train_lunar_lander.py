@@ -19,7 +19,7 @@ import dataclasses
 import jax
 import numpy as np
 
-from deep_q_learning_tpu.config import lunar_dddqn_vector
+from deep_q_learning_tpu.config import PRESETS
 from deep_q_learning_tpu.train import Trainer
 from deep_q_learning_tpu.utils.metrics import plot_history
 from deep_q_learning_tpu.utils.visualize import (
@@ -31,13 +31,14 @@ from deep_q_learning_tpu.utils.visualize import (
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=40_000_000)
+    ap.add_argument("--steps", type=int, default=60_000_000)
+    ap.add_argument("--preset", type=str, default="lunar_per", choices=["lunar_per", "lunar_dddqn_vector", "lunar_ref_parity"])
     ap.add_argument("--workdir", type=str, default="runs/lunar")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--rollouts", type=int, default=10)  # ref renders 10
     args = ap.parse_args()
 
-    cfg = dataclasses.replace(lunar_dddqn_vector(), seed=args.seed)
+    cfg = dataclasses.replace(PRESETS[args.preset](), seed=args.seed)
     trainer = Trainer(cfg, workdir=args.workdir).init()
     result = trainer.train(max_env_steps=args.steps, log_every=20)
     print(
