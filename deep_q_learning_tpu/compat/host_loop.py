@@ -1,0 +1,184 @@
+"""Host-driven training loop for arbitrary stateful (Gym-protocol) envs.
+
+The pure-JAX path requires env physics expressed in jnp.  Real-world users of
+the reference, however, train on any host Python environment — so this module
+re-creates the reference ``Agent``'s architecture
+(``/root/reference/General/QLearning/q_agent.py:22-246``) as a *compatibility
+path*: host episode loop, ε-greedy with per-episode decay, train-frequency
+gating, target sync every k episodes, 50-episode reward window and solve
+threshold — with the heavy pieces swapped for this framework's components:
+
+  * replay: the native C++ ring buffer + sampler (``native/``) instead of the
+    numpy/numba pair;
+  * compute: the same jitted batched update step the TPU path uses
+    (``algos/dqn.py``), with action selection batched per step;
+  * fixed quirks: separate terminated/truncated handling (configurable), the
+    loop bound uses max_steps (ref bug at q_agent.py:174), eval returns true
+    returns.
+
+Env protocol: either the classic 4-tuple ``obs, r, done, info`` or the
+5-tuple ``obs, r, terminated, truncated, info`` step API; ``reset()`` may
+return ``obs`` or ``(obs, info)``.
+"""
+
+from __future__ import annotations
+
+import random
+import statistics
+from typing import Any, Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_q_learning_tpu.config import DQNConfig
+from deep_q_learning_tpu.models import QNetwork
+from deep_q_learning_tpu.native import HostReplayBuffer
+from deep_q_learning_tpu.replay.nstep import LearnBatch
+from deep_q_learning_tpu.algos.dqn import (
+    build_update_step,
+    init_train_state,
+    make_optimizer,
+    sync_target,
+)
+
+
+def _step_env(env, action):
+    out = env.step(action)
+    if len(out) == 5:  # new API
+        obs, r, term, trunc, _ = out
+        return np.asarray(obs, np.float32).reshape(-1), float(r), bool(term), bool(trunc)
+    obs, r, done, _ = out  # classic API (the reference's, q_agent.py:177)
+    return np.asarray(obs, np.float32).reshape(-1), float(r), bool(done), False
+
+
+def _reset_env(env):
+    out = env.reset()
+    obs = out[0] if isinstance(out, tuple) else out
+    return np.asarray(obs, np.float32).reshape(-1)
+
+
+class HostAgent:
+    """Reference-architecture agent for host envs (compat path)."""
+
+    def __init__(self, env, obs_dim: int, num_actions: int, cfg: DQNConfig):
+        self.env = env
+        self.cfg = cfg
+        self.num_actions = num_actions
+        self.network = QNetwork(
+            num_actions=num_actions, hidden=cfg.hidden, dueling=cfg.dueling
+        )
+        self.optimizer = make_optimizer(cfg)
+        self.train_state = init_train_state(
+            self.network, self.optimizer, jax.random.PRNGKey(cfg.seed), obs_dim
+        )
+        self.buffer = HostReplayBuffer(cfg.buffer_capacity, obs_dim, seed=cfg.seed)
+        self._update = jax.jit(
+            build_update_step(self.network.apply, self.optimizer, cfg)
+        )
+        self._greedy = jax.jit(
+            lambda params, obs: jnp.argmax(self.network.apply(params, obs[None])[0])
+        )
+        self.epsilon = cfg.eps_start
+        self.reward_history: List[float] = []
+        self.episodes = 0
+        self._py_rng = random.Random(cfg.seed)
+
+    # ------------------------------------------------------------- policy
+    def policy(self, obs: np.ndarray) -> int:
+        """ε-greedy (ref q_agent.py:137-141)."""
+        if self._py_rng.random() < self.epsilon:
+            return self._py_rng.randrange(self.num_actions)
+        return int(self._greedy(self.train_state.params, jnp.asarray(obs)))
+
+    # -------------------------------------------------------------- learn
+    def _train_step(self) -> float:
+        obs, action, reward, next_obs, done = self.buffer.sample(self.cfg.batch_size)
+        nonterm = 1.0 - done.astype(np.float32)
+        batch = LearnBatch(
+            obs=jnp.asarray(obs),
+            action=jnp.asarray(action),
+            reward=jnp.asarray(reward),
+            next_obs=jnp.asarray(next_obs),
+            bootstrap=jnp.asarray(self.cfg.gamma * nonterm),
+        )
+        weights = jnp.ones((self.cfg.batch_size,), jnp.float32)
+        self.train_state, loss, _ = self._update(self.train_state, batch, weights)
+        return float(loss)
+
+    # ----------------------------------------------------------- training
+    def run_episode(self, max_steps: int) -> Tuple[float, int]:
+        obs = _reset_env(self.env)
+        total, steps = 0.0, 0
+        cfg = self.cfg
+        for step in range(1, max_steps + 1):  # ref bug: bound was max_episodes
+            action = self.policy(obs)
+            next_obs, reward, terminated, truncated = _step_env(self.env, action)
+            if step == max_steps:
+                truncated = True  # forced truncation (ref q_agent.py:179-180)
+            # done-for-TD honors truncation_bootstrap (fixed vs ref)
+            done_td = terminated or (truncated and not cfg.truncation_bootstrap)
+            self.buffer.add(obs, action, reward, next_obs, done_td)
+            total += reward
+            steps = step
+            self._global_steps += 1
+            if (
+                self.buffer.size >= cfg.training_start
+                and self._global_steps % cfg.train_every == 0
+            ):
+                self._last_loss = self._train_step()
+            obs = next_obs
+            if terminated or truncated:
+                break
+        return total, steps
+
+    def training(
+        self, max_episodes: int = 10_000, verbose: bool = True
+    ) -> Tuple[bool, int]:
+        """Episode loop with target sync / ε decay / solve stop
+        (ref q_agent.py:209-222)."""
+        cfg = self.cfg
+        self._global_steps = 0
+        self._last_loss = float("nan")
+        max_steps = cfg.max_steps_in_episode or 1000
+        for episode in range(1, max_episodes + 1):
+            total, steps = self.run_episode(max_steps)
+            self.episodes += 1
+            self.reward_history.append(total)
+            if len(self.reward_history) > cfg.return_window:
+                self.reward_history.pop(0)
+            if episode % cfg.target_replace_episodes == 0 and cfg.target_tau is None:
+                self.train_state = sync_target(self.train_state)
+            # per-episode ε decay with floor (ref q_agent.py:120-121)
+            self.epsilon = max(self.epsilon * cfg.eps_decay, cfg.eps_min)
+            avg = statistics.fmean(self.reward_history)
+            if verbose and episode % 50 == 0:
+                print(
+                    f"episode {episode}: return {total:.1f} "
+                    f"window {avg:.1f} eps {self.epsilon:.3f} loss {self._last_loss:.4f}",
+                    flush=True,
+                )
+            if (
+                cfg.solve_threshold is not None
+                and len(self.reward_history) >= cfg.return_window
+                and avg >= cfg.solve_threshold
+            ):
+                return True, episode
+        return False, max_episodes
+
+    def evaluate(self, episodes: int = 10) -> List[float]:
+        """Greedy rollouts returning TRUE eval returns (fixes q_agent.py:231)."""
+        cfg = self.cfg
+        max_steps = cfg.max_steps_in_episode or 1000
+        returns = []
+        for _ in range(episodes):
+            obs = _reset_env(self.env)
+            total = 0.0
+            for _ in range(max_steps):
+                a = int(self._greedy(self.train_state.params, jnp.asarray(obs)))
+                obs, r, term, trunc = _step_env(self.env, a)
+                total += r
+                if term or trunc:
+                    break
+            returns.append(total)
+        return returns
