@@ -66,7 +66,9 @@ class Trainer:
             self.venv, self.env_params, self.network, self.optimizer, self.replay, cfg
         )
         self._superstep = jax.jit(superstep, donate_argnums=0)
-        eval_venv = VectorEnv(self.env, min(cfg.num_envs, 128))
+        # >=10 parallel greedy episodes (the reference evaluates 10) even
+        # for single-env training configs
+        eval_venv = VectorEnv(self.env, min(max(cfg.num_envs, 10), 128))
         self._evaluate = jax.jit(
             build_evaluator(
                 eval_venv,

@@ -9,6 +9,12 @@ enough — we override the config after import, before any backend is used.
 
 import os
 
+# CRITICAL on this machine: even a CPU-only process registers a session with
+# the remote axon TPU at interpreter start (sitecustomize), contending with
+# any real TPU job and wedging its compile.  Clearing PALLAS_AXON_POOL_IPS
+# has no effect here (sitecustomize already ran), so when a TPU job is
+# running, launch pytest with `PALLAS_AXON_POOL_IPS= python -m pytest ...`.
+
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
