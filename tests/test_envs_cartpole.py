@@ -120,3 +120,14 @@ def test_time_fraction_obs_wrapper():
     for t in range(4):
         obs, state, *_ = env.step(jax.random.PRNGKey(t), state, jnp.int32(0), p)
     np.testing.assert_allclose(float(obs[-1]), 4 / 10, rtol=1e-6)
+
+
+def test_gym_parity_harness():
+    """When gym+Box2D are installed, CartPole must match step-for-step to
+    float tolerance; skipped in this image (zero-egress, no gym)."""
+    from deep_q_learning_tpu.envs.gym_compat import compare_cartpole
+
+    result = compare_cartpole(num_steps=100, seed=0)
+    if result is None:
+        pytest.skip("gym not installed")
+    assert result["max_abs_err"] < 1e-4, result
