@@ -213,17 +213,23 @@ def build_superstep(
             rng, action_key, env_key, train_key = jax.random.split(runner.rng, 4)
 
             # --- actor: ε-greedy on device --------------------------------
-            eps = epsilon_by_schedule(
-                cfg, runner.env_step.astype(jnp.float32) * global_envs, runner.episodes
-            )
-            q_values = network.apply(runner.train.params, runner.obs)
-            actions = epsilon_greedy(action_key, q_values, eps)
+            # (named scopes label the phases in jax.profiler / xprof traces)
+            with jax.named_scope("actor"):
+                eps = epsilon_by_schedule(
+                    cfg,
+                    runner.env_step.astype(jnp.float32) * global_envs,
+                    runner.episodes,
+                )
+                q_values = network.apply(runner.train.params, runner.obs)
+                actions = epsilon_greedy(action_key, q_values, eps)
 
             # --- env: vector step with in-graph auto-reset ----------------
-            obs, env_states, transition = venv.step(
-                env_key, runner.env_states, actions, env_params
-            )
-            rstate = replay.add(runner.replay, transition)
+            with jax.named_scope("env_step"):
+                obs, env_states, transition = venv.step(
+                    env_key, runner.env_states, actions, env_params
+                )
+            with jax.named_scope("replay_write"):
+                rstate = replay.add(runner.replay, transition)
 
             # --- episode accounting ---------------------------------------
             done = jnp.logical_or(transition.terminated, transition.truncated)
@@ -247,12 +253,13 @@ def build_superstep(
 
             # --- learner ---------------------------------------------------
             env_step = runner.env_step + 1
-            train, rstate, step_loss, step_count = _maybe_train(
-                train_key, runner.train, rstate, env_step
-            )
-            train, last_sync = _maybe_sync(
-                train, episodes, runner.last_sync_episodes, env_step
-            )
+            with jax.named_scope("learner"):
+                train, rstate, step_loss, step_count = _maybe_train(
+                    train_key, runner.train, rstate, env_step
+                )
+                train, last_sync = _maybe_sync(
+                    train, episodes, runner.last_sync_episodes, env_step
+                )
 
             runner = RunnerState(
                 train=train,
