@@ -10,13 +10,17 @@ import dataclasses
 from typing import Optional, Tuple
 
 from deep_q_learning_tpu.envs.base import Environment
+from deep_q_learning_tpu.envs.acrobot import Acrobot
 from deep_q_learning_tpu.envs.cartpole import CartPole
 from deep_q_learning_tpu.envs.lunar_lander import LunarLander
+from deep_q_learning_tpu.envs.mountain_car import MountainCar
 from deep_q_learning_tpu.envs.wrappers import TimeFractionObs
 
 _ENVS = {
+    "Acrobot-v1": Acrobot,
     "CartPole-v1": CartPole,
     "LunarLander-v2": LunarLander,
+    "MountainCar-v0": MountainCar,
 }
 
 
