@@ -193,6 +193,15 @@ class DistributedTrainer:
             cfg, self.mesh
         )
         self._superstep = jax.jit(superstep, donate_argnums=0)
+        env, env_params = make_env(
+            cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode
+        )
+        eval_venv = VectorEnv(env, 128)
+        self._evaluate = jax.jit(
+            build_evaluator(
+                eval_venv, env_params, self.network, env_params.max_steps_in_episode
+            )
+        )
         self.runner = None
         self.history: List[Dict[str, float]] = []
 
@@ -201,6 +210,12 @@ class DistributedTrainer:
             jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
         )
         return self
+
+    def evaluate(self, seed: int = 0):
+        """Greedy eval on the replicated learner params (true returns)."""
+        params = jax.device_get(self.runner.train.params)
+        rets, lengths = self._evaluate(params, jax.random.PRNGKey(seed))
+        return np.asarray(rets), np.asarray(lengths)
 
     def train(
         self,
