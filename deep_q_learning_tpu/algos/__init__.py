@@ -1,4 +1,5 @@
 from deep_q_learning_tpu.algos.dqn import (
+    HyperParams,
     TrainState,
     build_update_step,
     epsilon_by_schedule,

@@ -24,6 +24,33 @@ from deep_q_learning_tpu.algos.losses import build_loss_fn
 
 
 @struct.dataclass
+class HyperParams:
+    """Runtime (traced) hyperparameters.
+
+    These live in the runner state instead of being baked into the jaxpr, so
+    HPO trials and schedule tweaks reuse ONE compiled superstep (remote-TPU
+    compiles cost minutes; see CLAUDE.md).  Values that change program
+    structure or shapes (batch size, cadences, network width, replay kind)
+    remain static in :class:`~deep_q_learning_tpu.config.DQNConfig`."""
+
+    gamma: jax.Array
+    eps_start: jax.Array
+    eps_min: jax.Array
+    eps_decay: jax.Array
+    eps_decay_steps: jax.Array
+
+    @classmethod
+    def from_config(cls, cfg: DQNConfig) -> "HyperParams":
+        return cls(
+            gamma=jnp.float32(cfg.gamma),
+            eps_start=jnp.float32(cfg.eps_start),
+            eps_min=jnp.float32(cfg.eps_min),
+            eps_decay=jnp.float32(cfg.eps_decay),
+            eps_decay_steps=jnp.float32(cfg.eps_decay_steps),
+        )
+
+
+@struct.dataclass
 class TrainState:
     """Learner state: online/target params, optimizer state, update counter.
 
@@ -76,7 +103,10 @@ def init_train_state(
 # ---------------------------------------------------------------------------
 
 def epsilon_by_schedule(
-    cfg: DQNConfig, env_steps: jax.Array, episodes: jax.Array
+    cfg: DQNConfig,
+    env_steps: jax.Array,
+    episodes: jax.Array,
+    hyper: Optional[HyperParams] = None,
 ) -> jax.Array:
     """Exploration rate as a pure function of progress counters.
 
@@ -84,13 +114,16 @@ def epsilon_by_schedule(
     with floor ``ε = max(ε0·decay^episodes, ε_min)`` (q_agent.py:120-121 —
     applied once per episode there; expressed in closed form here so it needs
     no mutable host state).  "linear_step" is the standard per-env-step linear
-    schedule for large vectorized runs."""
+    schedule for large vectorized runs.  The schedule KIND is static; its
+    parameters come from ``hyper`` (runtime values) when given, else the
+    config."""
+    h = hyper if hyper is not None else HyperParams.from_config(cfg)
     if cfg.eps_schedule == "exp_episode":
-        eps = cfg.eps_start * cfg.eps_decay ** episodes.astype(jnp.float32)
-        return jnp.maximum(eps, cfg.eps_min)
+        eps = h.eps_start * h.eps_decay ** episodes.astype(jnp.float32)
+        return jnp.maximum(eps, h.eps_min)
     elif cfg.eps_schedule == "linear_step":
-        frac = jnp.clip(env_steps.astype(jnp.float32) / cfg.eps_decay_steps, 0.0, 1.0)
-        return cfg.eps_start + frac * (cfg.eps_min - cfg.eps_start)
+        frac = jnp.clip(env_steps.astype(jnp.float32) / h.eps_decay_steps, 0.0, 1.0)
+        return h.eps_start + frac * (h.eps_min - h.eps_start)
     else:
         raise ValueError(f"unknown eps_schedule {cfg.eps_schedule!r}")
 

@@ -28,6 +28,7 @@ from deep_q_learning_tpu.config import DQNConfig
 from deep_q_learning_tpu.envs.base import Transition, VectorEnv
 from deep_q_learning_tpu.replay.uniform import ReplayState, UniformReplay
 from deep_q_learning_tpu.algos.dqn import (
+    HyperParams,
     TrainState,
     build_update_step,
     epsilon_by_schedule,
@@ -42,6 +43,7 @@ class RunnerState:
     """Everything the training loop owns, as one donatable pytree."""
 
     train: TrainState
+    hyper: HyperParams  # runtime hyperparams (traced; swap without recompile)
     env_states: Any  # vmapped env state, leaves (N, ...)
     obs: jax.Array  # (N, D) current observations
     replay: ReplayState
@@ -133,6 +135,7 @@ def build_superstep(
         )
         return RunnerState(
             train=train,
+            hyper=HyperParams.from_config(cfg),
             env_states=env_states,
             obs=obs,
             replay=replay.init(example),
@@ -148,7 +151,11 @@ def build_superstep(
         )
 
     def _maybe_train(
-        rng: jax.Array, train: TrainState, rstate: ReplayState, env_step: jax.Array
+        rng: jax.Array,
+        train: TrainState,
+        rstate: ReplayState,
+        env_step: jax.Array,
+        hyper: HyperParams,
     ) -> Tuple[TrainState, ReplayState, jax.Array, jax.Array]:
         """cfg.updates_per_step gradient updates, gated on cadence + warmup
         (ref gate: ``step % train_frequency == 0 and buffer.size >=
@@ -166,7 +173,7 @@ def build_superstep(
                 rng, train, rstate, loss_sum = carry
                 rng, sample_key = jax.random.split(rng)
                 batch, info, weights = replay.sample_with_info(
-                    rstate, sample_key, cfg.batch_size
+                    rstate, sample_key, cfg.batch_size, gamma=hyper.gamma
                 )
                 train, loss, td_err = update(train, batch, weights)
                 # PER: refresh sampled priorities from |td| (no-op for uniform)
@@ -219,6 +226,7 @@ def build_superstep(
                     cfg,
                     runner.env_step.astype(jnp.float32) * global_envs,
                     runner.episodes,
+                    hyper=runner.hyper,
                 )
                 q_values = network.apply(runner.train.params, runner.obs)
                 actions = epsilon_greedy(action_key, q_values, eps)
@@ -255,7 +263,7 @@ def build_superstep(
             env_step = runner.env_step + 1
             with jax.named_scope("learner"):
                 train, rstate, step_loss, step_count = _maybe_train(
-                    train_key, runner.train, rstate, env_step
+                    train_key, runner.train, rstate, env_step, runner.hyper
                 )
                 train, last_sync = _maybe_sync(
                     train, episodes, runner.last_sync_episodes, env_step
@@ -263,6 +271,7 @@ def build_superstep(
 
             runner = RunnerState(
                 train=train,
+                hyper=runner.hyper,
                 env_states=env_states,
                 obs=obs,
                 replay=rstate,
@@ -316,7 +325,10 @@ def build_superstep(
             loss_count=loss_count,
             window_mean=window_mean,
             epsilon=epsilon_by_schedule(
-                cfg, runner.env_step.astype(jnp.float32) * global_envs, runner.episodes
+                cfg,
+                runner.env_step.astype(jnp.float32) * global_envs,
+                runner.episodes,
+                hyper=runner.hyper,
             ),
             solved=solved,
         )

@@ -160,6 +160,11 @@ def optimize(
 # DQN objective: fresh trainer per trial, true eval returns
 # ---------------------------------------------------------------------------
 
+# runtime hyperparams: swapping these between trials reuses the compiled
+# superstep (Trainer.set_hyper); everything else forces a rebuild+recompile
+_RUNTIME_PARAMS = {"gamma", "eps_start", "eps_min", "eps_decay", "eps_decay_steps"}
+
+
 def make_dqn_objective(
     base_cfg,
     env_steps_per_trial: int,
@@ -167,15 +172,26 @@ def make_dqn_objective(
 ) -> Callable[[Dict[str, float]], float]:
     """Objective = mean TRUE greedy eval return after a fixed env-step budget
     (the ref trained 500 episodes and returned the train window; SURVEY §3.3).
-    Every call builds a fresh Trainer — no cross-trial state leakage."""
+    Every trial re-initializes the runner state — no cross-trial state
+    leakage (the reference reused one agent across all 20 trials, §3.4) —
+    but trials that differ only in RUNTIME hyperparams (γ, ε schedule) reuse
+    one compiled Trainer: on the remote TPU backend a recompile costs
+    minutes, so this makes realistic search budgets practical."""
     from deep_q_learning_tpu.train import Trainer
 
+    trainers: Dict[object, object] = {}
+
     def objective(params: Dict[str, float]) -> float:
-        cfg = dataclasses.replace(
-            base_cfg,
-            **{k: (int(v) if isinstance(v, int) else v) for k, v in params.items()},
-        )
-        tr = Trainer(cfg).init()
+        typed = {k: (int(v) if isinstance(v, int) else v) for k, v in params.items()}
+        static = {k: v for k, v in typed.items() if k not in _RUNTIME_PARAMS}
+        dynamic = {k: v for k, v in typed.items() if k in _RUNTIME_PARAMS}
+        cfg = dataclasses.replace(base_cfg, **static)
+        if cfg not in trainers:
+            trainers[cfg] = Trainer(cfg)
+        tr = trainers[cfg]
+        tr.init()  # fresh params/buffer/counters; compiled superstep reused
+        if dynamic:
+            tr.set_hyper(**dynamic)
         tr.train(max_env_steps=env_steps_per_trial, verbose=False)
         rets, _ = tr.evaluate(seed=eval_seed)
         return float(np.mean(rets))

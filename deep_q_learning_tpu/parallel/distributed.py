@@ -48,6 +48,7 @@ def _runner_specs(example: RunnerState, replay) -> RunnerState:
     shard = lambda tree: jax.tree.map(lambda _: P(ENV_AXIS), tree)
     return RunnerState(
         train=train_specs,
+        hyper=jax.tree.map(lambda _: P(), example.hyper),  # replicated
         env_states=shard(example.env_states),
         obs=P(ENV_AXIS),
         replay=replay.shard_specs(example.replay, ENV_AXIS),
@@ -68,6 +69,7 @@ def _to_local(g: RunnerState, replay) -> RunnerState:
     shard_map each block has local shape (1, ...))."""
     return RunnerState(
         train=g.train,
+        hyper=g.hyper,
         env_states=g.env_states,
         obs=g.obs,
         replay=replay.to_local(g.replay),
@@ -88,6 +90,7 @@ def _to_global(l: RunnerState, replay) -> RunnerState:
     one = lambda x: jnp.asarray(x)[None]
     return RunnerState(
         train=l.train,
+        hyper=l.hyper,
         env_states=l.env_states,
         obs=l.obs,
         replay=replay.to_global(l.replay),

@@ -123,7 +123,8 @@ class PrioritizedReplay:
 
     # --------------------------------------------------------------- sample
     def sample_with_info(
-        self, state: PrioritizedReplayState, key: jax.Array, batch_size: int
+        self, state: PrioritizedReplayState, key: jax.Array, batch_size: int,
+        gamma=None,
     ) -> Tuple[Transition, SampleInfo, jax.Array]:
         """Two-level proportional sampling; returns (batch, info, weights)."""
         from deep_q_learning_tpu.replay.nstep import (
@@ -173,7 +174,8 @@ class PrioritizedReplay:
 
         batch = assemble_learn_batch(
             state.storage, env_idx, slot_idx,
-            self.gamma, self.n_step, self.truncation_bootstrap,
+            self.gamma if gamma is None else gamma,
+            self.n_step, self.truncation_bootstrap,
         )
 
         # importance weights: w = (1/(n·P))^β, normalized by batch max

@@ -131,10 +131,13 @@ class UniformReplay:
         return (state.filled * self.num_envs) >= min_transitions
 
     # ------------------------------------------------- common replay protocol
-    def sample_with_info(self, state: ReplayState, key: jax.Array, batch_size: int):
+    def sample_with_info(
+        self, state: ReplayState, key: jax.Array, batch_size: int, gamma=None
+    ):
         """(LearnBatch, info, importance_weights) — uniform: no info, unit
         weights.  Slots are drawn in AGE order so the n-step window never
-        crosses the write cursor (replay/nstep.py)."""
+        crosses the write cursor (replay/nstep.py).  ``gamma`` may be a traced
+        runtime value (HyperParams); defaults to the constructor's."""
         from deep_q_learning_tpu.replay.nstep import assemble_learn_batch
 
         env_key, slot_key = jax.random.split(key)
@@ -145,7 +148,8 @@ class UniformReplay:
         slot_idx = jnp.mod(start + rank, self.capacity_per_env)
         batch = assemble_learn_batch(
             state.storage, env_idx, slot_idx,
-            self.gamma, self.n_step, self.truncation_bootstrap,
+            self.gamma if gamma is None else gamma,
+            self.n_step, self.truncation_bootstrap,
         )
         return batch, None, jnp.ones((batch_size,), jnp.float32)
 

@@ -85,6 +85,25 @@ class Trainer:
         self.runner = self._init_runner(
             jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
         )
+        self.history = []
+        return self
+
+    def set_hyper(self, **overrides):
+        """Swap runtime hyperparameters (gamma, eps_*) WITHOUT recompiling —
+        they are traced values in the runner state (algos/dqn.py::HyperParams).
+        Static config fields (shapes, cadences, network) cannot be changed
+        this way."""
+        import jax.numpy as jnp
+
+        assert self.runner is not None, "call init() first"
+        valid = set(self.runner.hyper.__dataclass_fields__)
+        unknown = set(overrides) - valid
+        if unknown:
+            raise ValueError(f"not runtime hyperparams: {sorted(unknown)} (have {sorted(valid)})")
+        h = self.runner.hyper.replace(
+            **{k: jnp.float32(v) for k, v in overrides.items()}
+        )
+        self.runner = self.runner.replace(hyper=h)
         return self
 
     def train(

@@ -86,3 +86,25 @@ def test_pickle_compat_roundtrip(tmp_path):
     assert len(orig) == len(loaded)
     for a, b in zip(orig, loaded):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_set_hyper_no_recompile():
+    """Swapping runtime hyperparams must reuse the compiled superstep; only
+    static config changes recompile (algos/dqn.py::HyperParams)."""
+    tr = Trainer(CFG).init()
+    tr.train(max_env_steps=256, log_every=1, verbose=False)
+    n_compiles = tr._superstep._cache_size()
+    tr.init()
+    tr.set_hyper(gamma=0.95, eps_min=0.2, eps_decay_steps=1234.0)
+    res = tr.train(max_env_steps=256, log_every=1, verbose=False)
+    assert tr._superstep._cache_size() == n_compiles, "set_hyper recompiled!"
+    # and the new values actually apply: epsilon floor rises to 0.2 quickly
+    assert res.history[-1]["epsilon"] >= 0.2 - 1e-6
+
+
+def test_set_hyper_validates_names():
+    import pytest as _pytest
+
+    tr = Trainer(CFG).init()
+    with _pytest.raises(ValueError):
+        tr.set_hyper(batch_size=64)  # static field, not a runtime hyperparam
