@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import random
 import statistics
-from typing import Any, Callable, List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

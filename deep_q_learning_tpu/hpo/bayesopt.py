@@ -20,7 +20,6 @@ dependency; matches ``bayes_opt``'s functional surface for this use.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

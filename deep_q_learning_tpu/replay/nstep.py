@@ -20,8 +20,6 @@ PER zeroes the priorities of the newest n-1 slots).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -18,7 +18,7 @@ form is the default/fallback and XLA fuses it into the superstep.)
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

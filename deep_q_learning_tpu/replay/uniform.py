@@ -17,8 +17,6 @@ buffer shards with the envs and sampling stays shard-local.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import struct
