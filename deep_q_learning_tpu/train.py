@@ -111,9 +111,14 @@ class Trainer:
         max_env_steps: int = 10_000_000,
         log_every: int = 10,
         checkpoint_every: Optional[int] = None,
+        eval_every: Optional[int] = None,
         verbose: bool = True,
     ) -> TrainResult:
-        """Run supersteps until solved or the env-step budget is exhausted."""
+        """Run supersteps until solved or the env-step budget is exhausted.
+
+        ``eval_every`` (in supersteps) interleaves true greedy evaluation and
+        records ``eval_mean`` in the history — the reference only evaluates
+        after training (and then reports the training window; SURVEY §3.3)."""
         if self.runner is None:
             self.init()
         cfg = self.cfg
@@ -140,6 +145,9 @@ class Trainer:
                     "steps_per_s": sps,
                     "wall_s": now - t0,
                 }
+                if eval_every and i % eval_every == 0:
+                    rets, _ = self.evaluate(seed=i)
+                    rec["eval_mean"] = float(np.mean(rets))
                 self.history.append(rec)
                 if verbose:
                     print(

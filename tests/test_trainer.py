@@ -108,3 +108,11 @@ def test_set_hyper_validates_names():
     tr = Trainer(CFG).init()
     with _pytest.raises(ValueError):
         tr.set_hyper(batch_size=64)  # static field, not a runtime hyperparam
+
+
+def test_periodic_eval_during_training():
+    tr = Trainer(CFG).init()
+    res = tr.train(max_env_steps=1024, log_every=2, eval_every=2, verbose=False)
+    evals = [r["eval_mean"] for r in res.history if "eval_mean" in r]
+    assert len(evals) >= 2
+    assert all(np.isfinite(e) for e in evals)
