@@ -38,6 +38,18 @@ class HyperParams:
     eps_min: jax.Array
     eps_decay: jax.Array
     eps_decay_steps: jax.Array
+    # optimizer (applied through optax.inject_hyperparams; see make_optimizer)
+    learning_rate: jax.Array
+    max_grad_norm: jax.Array  # unused when cfg.max_grad_norm is None
+    target_tau: jax.Array  # unused when cfg.target_tau is None (hard sync)
+    # replay
+    per_beta: jax.Array  # importance-weight exponent (uniform replay ignores)
+    # cadences (int32; gate `lax.cond` predicates — changing them does NOT
+    # change program structure, so they can be traced)
+    train_every: jax.Array
+    training_start: jax.Array
+    target_sync_every: jax.Array
+    target_replace_episodes: jax.Array
 
     @classmethod
     def from_config(cls, cfg: DQNConfig) -> "HyperParams":
@@ -47,6 +59,18 @@ class HyperParams:
             eps_min=jnp.float32(cfg.eps_min),
             eps_decay=jnp.float32(cfg.eps_decay),
             eps_decay_steps=jnp.float32(cfg.eps_decay_steps),
+            learning_rate=jnp.float32(cfg.learning_rate),
+            max_grad_norm=jnp.float32(
+                cfg.max_grad_norm if cfg.max_grad_norm is not None else jnp.inf
+            ),
+            target_tau=jnp.float32(
+                cfg.target_tau if cfg.target_tau is not None else 0.0
+            ),
+            per_beta=jnp.float32(cfg.per_beta),
+            train_every=jnp.int32(cfg.train_every),
+            training_start=jnp.int32(cfg.training_start),
+            target_sync_every=jnp.int32(cfg.target_sync_every),
+            target_replace_episodes=jnp.int32(cfg.target_replace_episodes),
         )
 
 
@@ -64,22 +88,37 @@ class TrainState:
     updates: jax.Array  # int32: number of gradient updates applied
 
 
+_OPTIMIZERS = {
+    "adamw": optax.adamw,
+    "adam": optax.adam,
+    "rmsprop": optax.rmsprop,
+    "sgd": optax.sgd,
+}
+
+
 def make_optimizer(cfg: DQNConfig) -> optax.GradientTransformation:
     """Optimizer from config (ref uses adamw lr 2e-4, Test/lunar_lander.py:49;
-    the HPO script uses adam lr 1e-4, Test/lunar_lander_hyper_params.py:41)."""
-    if cfg.optimizer == "adamw":
-        tx = optax.adamw(cfg.learning_rate)
-    elif cfg.optimizer == "adam":
-        tx = optax.adam(cfg.learning_rate)
-    elif cfg.optimizer == "rmsprop":
-        tx = optax.rmsprop(cfg.learning_rate)
-    elif cfg.optimizer == "sgd":
-        tx = optax.sgd(cfg.learning_rate)
-    else:
+    the HPO script uses adam lr 1e-4, Test/lunar_lander_hyper_params.py:41).
+
+    Wrapped in ``optax.inject_hyperparams`` so the learning rate (and clip
+    norm, when enabled) live in ``opt_state.hyperparams`` as TRACED values —
+    the update step overwrites them from :class:`HyperParams` each call, so
+    LR sweeps reuse one compiled superstep (remote-TPU compiles cost minutes;
+    CLAUDE.md)."""
+    if cfg.optimizer not in _OPTIMIZERS:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    ctor = _OPTIMIZERS[cfg.optimizer]
     if cfg.max_grad_norm is not None:
-        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
-    return tx
+
+        def clipped(learning_rate, max_grad_norm):
+            return optax.chain(
+                optax.clip_by_global_norm(max_grad_norm), ctor(learning_rate)
+            )
+
+        return optax.inject_hyperparams(clipped)(
+            learning_rate=cfg.learning_rate, max_grad_norm=cfg.max_grad_norm
+        )
+    return optax.inject_hyperparams(ctor)(learning_rate=cfg.learning_rate)
 
 
 def init_train_state(
@@ -150,12 +189,16 @@ def build_update_step(
     cfg: DQNConfig,
     axis_name: Optional[str] = None,
 ) -> Callable:
-    """Returns ``update(ts, batch, weights) -> (ts, loss, td_errors)``.
+    """Returns ``update(ts, batch, weights, hyper=None) -> (ts, loss, td_errors)``.
 
     When ``axis_name`` is set (shard_map over the "env" mesh axis), gradients
     and the loss are ``pmean``-ed across shards so the replicated learner
     stays bit-identical on every device — the ICI all-reduce of the design
-    (SURVEY.md §5.8)."""
+    (SURVEY.md §5.8).
+
+    ``hyper`` (a :class:`HyperParams`) supplies the traced learning rate /
+    clip norm / Polyak tau; when omitted, the values baked into the optimizer
+    state at init (i.e. the config's) apply."""
     if cfg.ref_terminal_quirk and cfg.n_step != 1:
         raise ValueError("ref_terminal_quirk reproduces 1-step semantics; set n_step=1")
     loss_fn = build_loss_fn(
@@ -187,7 +230,10 @@ def build_update_step(
         )
 
     def update(
-        ts: TrainState, batch: LearnBatch, weights: jax.Array
+        ts: TrainState,
+        batch: LearnBatch,
+        weights: jax.Array,
+        hyper: Optional[HyperParams] = None,
     ) -> Tuple[TrainState, jax.Array, jax.Array]:
         (loss, td_err), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             ts.params, ts.target_params, batch, weights
@@ -195,12 +241,25 @@ def build_update_step(
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
-        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        opt_state = ts.opt_state
+        if hyper is not None and hasattr(opt_state, "hyperparams"):
+            # overwrite the injected optimizer hyperparams with the runtime
+            # (traced) values — LR sweeps without recompiling
+            hp = dict(opt_state.hyperparams)
+            hp["learning_rate"] = jnp.asarray(
+                hyper.learning_rate, hp["learning_rate"].dtype
+            )
+            if "max_grad_norm" in hp:
+                hp["max_grad_norm"] = jnp.asarray(
+                    hyper.max_grad_norm, hp["max_grad_norm"].dtype
+                )
+            opt_state = opt_state._replace(hyperparams=hp)
+        updates, opt_state = optimizer.update(grads, opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
         if cfg.target_tau is not None:
             # Polyak soft target update every gradient step (alternative to
             # the reference's periodic hard copy, q_agent.py:143-144)
-            tau = cfg.target_tau
+            tau = cfg.target_tau if hyper is None else hyper.target_tau
             target_params = jax.tree.map(
                 lambda t, p: (1.0 - tau) * t + tau * p, ts.target_params, params
             )

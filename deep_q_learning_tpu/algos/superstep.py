@@ -159,11 +159,13 @@ def build_superstep(
     ) -> Tuple[TrainState, ReplayState, jax.Array, jax.Array]:
         """cfg.updates_per_step gradient updates, gated on cadence + warmup
         (ref gate: ``step % train_frequency == 0 and buffer.size >=
-        training_start``, q_agent.py:186-187)."""
+        training_start``, q_agent.py:186-187).  The cadence and warmup
+        thresholds are traced (``hyper``), so they can change between calls
+        without recompiling."""
         # warmup gate in GLOBAL transitions: local filled * global env count
         do_train = jnp.logical_and(
-            env_step % cfg.train_every == 0,
-            (rstate.filled * global_envs) >= cfg.training_start,
+            env_step % hyper.train_every == 0,
+            (rstate.filled * global_envs) >= hyper.training_start,
         )
 
         def run_updates(args):
@@ -173,9 +175,10 @@ def build_superstep(
                 rng, train, rstate, loss_sum = carry
                 rng, sample_key = jax.random.split(rng)
                 batch, info, weights = replay.sample_with_info(
-                    rstate, sample_key, cfg.batch_size, gamma=hyper.gamma
+                    rstate, sample_key, cfg.batch_size,
+                    gamma=hyper.gamma, beta=hyper.per_beta,
                 )
-                train, loss, td_err = update(train, batch, weights)
+                train, loss, td_err = update(train, batch, weights, hyper)
                 # PER: refresh sampled priorities from |td| (no-op for uniform)
                 rstate = replay.update_priorities(rstate, info, td_err)
                 return rng, train, rstate, loss_sum + loss
@@ -195,18 +198,19 @@ def build_superstep(
 
         return jax.lax.cond(do_train, run_updates, skip, (rng, train, rstate))
 
-    def _maybe_sync(runner_train, episodes, last_sync, env_step):
+    def _maybe_sync(runner_train, episodes, last_sync, env_step, hyper):
         """Hard target sync on the configured cadence (ref: every
         ``replace_frequency`` episodes, q_agent.py:192-193).  With
         ``cfg.target_tau`` set, soft updates happen inside the gradient step
-        instead and the periodic hard copy is disabled."""
+        instead and the periodic hard copy is disabled.  Cadence values are
+        traced (``hyper``); only the MODE is static."""
         if cfg.target_tau is not None:
             return runner_train, last_sync
         if cfg.target_sync_mode == "steps":
-            do_sync = env_step % cfg.target_sync_every == 0
+            do_sync = env_step % hyper.target_sync_every == 0
             new_last = last_sync
         elif cfg.target_sync_mode == "episodes":
-            k = cfg.target_replace_episodes
+            k = hyper.target_replace_episodes
             do_sync = (episodes // k) > (last_sync // k)
             new_last = jnp.where(do_sync, episodes, last_sync)
         else:
@@ -266,7 +270,8 @@ def build_superstep(
                     train_key, runner.train, rstate, env_step, runner.hyper
                 )
                 train, last_sync = _maybe_sync(
-                    train, episodes, runner.last_sync_episodes, env_step
+                    train, episodes, runner.last_sync_episodes, env_step,
+                    runner.hyper,
                 )
 
             runner = RunnerState(

@@ -160,8 +160,25 @@ def optimize(
 # ---------------------------------------------------------------------------
 
 # runtime hyperparams: swapping these between trials reuses the compiled
-# superstep (Trainer.set_hyper); everything else forces a rebuild+recompile
-_RUNTIME_PARAMS = {"gamma", "eps_start", "eps_min", "eps_decay", "eps_decay_steps"}
+# superstep (Trainer.set_hyper); everything else forces a rebuild+recompile.
+# This covers the ENTIRE reference search space (γ, ε-schedule, replace
+# frequency, train frequency; hyperparameter_optimization.py:115-123) except
+# batch_size, which changes array shapes and must stay static.
+_RUNTIME_PARAMS = {
+    "gamma",
+    "eps_start",
+    "eps_min",
+    "eps_decay",
+    "eps_decay_steps",
+    "learning_rate",
+    "max_grad_norm",
+    "target_tau",
+    "per_beta",
+    "train_every",
+    "training_start",
+    "target_sync_every",
+    "target_replace_episodes",
+}
 
 
 def make_dqn_objective(
@@ -173,17 +190,33 @@ def make_dqn_objective(
     (the ref trained 500 episodes and returned the train window; SURVEY §3.3).
     Every trial re-initializes the runner state — no cross-trial state
     leakage (the reference reused one agent across all 20 trials, §3.4) —
-    but trials that differ only in RUNTIME hyperparams (γ, ε schedule) reuse
-    one compiled Trainer: on the remote TPU backend a recompile costs
-    minutes, so this makes realistic search budgets practical."""
+    but trials that differ only in RUNTIME hyperparams reuse one compiled
+    Trainer: on the remote TPU backend a recompile costs minutes, so this
+    makes realistic search budgets practical.  With the full REFERENCE_SPACE,
+    only ``batch_size`` is static (it changes array shapes), so a 20-trial
+    search compiles at most ~#distinct-batch-sizes programs instead of 20.
+
+    Note: when ``base_cfg.target_tau`` is set (Polyak updates), the hard-sync
+    cadences (``target_sync_every``/``target_replace_episodes``) are compiled
+    OUT of the program — searching them is then a no-op; use a base config
+    with ``target_tau=None`` to tune them (see examples/hyperparameter_search.py)."""
     from deep_q_learning_tpu.train import Trainer
 
     trainers: Dict[object, object] = {}
 
+    # target_tau / max_grad_norm are runtime VALUES only when the base config
+    # enables the corresponding program path (Polyak updates / grad clipping);
+    # if disabled there, searching them must rebuild with the path compiled in.
+    runtime = set(_RUNTIME_PARAMS)
+    if base_cfg.target_tau is None:
+        runtime.discard("target_tau")
+    if base_cfg.max_grad_norm is None:
+        runtime.discard("max_grad_norm")
+
     def objective(params: Dict[str, float]) -> float:
         typed = {k: (int(v) if isinstance(v, int) else v) for k, v in params.items()}
-        static = {k: v for k, v in typed.items() if k not in _RUNTIME_PARAMS}
-        dynamic = {k: v for k, v in typed.items() if k in _RUNTIME_PARAMS}
+        static = {k: v for k, v in typed.items() if k not in runtime}
+        dynamic = {k: v for k, v in typed.items() if k in runtime}
         cfg = dataclasses.replace(base_cfg, **static)
         if cfg not in trainers:
             trainers[cfg] = Trainer(cfg)

@@ -124,9 +124,12 @@ class PrioritizedReplay:
     # --------------------------------------------------------------- sample
     def sample_with_info(
         self, state: PrioritizedReplayState, key: jax.Array, batch_size: int,
-        gamma=None,
+        gamma=None, beta=None,
     ) -> Tuple[Transition, SampleInfo, jax.Array]:
-        """Two-level proportional sampling; returns (batch, info, weights)."""
+        """Two-level proportional sampling; returns (batch, info, weights).
+
+        ``gamma`` and ``beta`` may be traced runtime values (HyperParams);
+        they default to the constructor's static values."""
         from deep_q_learning_tpu.replay.nstep import (
             assemble_learn_batch,
             valid_slot_mask,
@@ -180,7 +183,9 @@ class PrioritizedReplay:
 
         # importance weights: w = (1/(n·P))^β, normalized by batch max
         n_valid = (state.filled * self.num_envs).astype(jnp.float32)
-        w = (1.0 / jnp.maximum(n_valid * p_sel, 1e-12)) ** self.beta
+        w = (1.0 / jnp.maximum(n_valid * p_sel, 1e-12)) ** (
+            self.beta if beta is None else beta
+        )
         w = w / jnp.maximum(jnp.max(w), 1e-12)
         return batch, SampleInfo(env_idx, slot_idx), w.astype(jnp.float32)
 

@@ -130,12 +130,15 @@ class UniformReplay:
 
     # ------------------------------------------------- common replay protocol
     def sample_with_info(
-        self, state: ReplayState, key: jax.Array, batch_size: int, gamma=None
+        self, state: ReplayState, key: jax.Array, batch_size: int, gamma=None,
+        beta=None,
     ):
         """(LearnBatch, info, importance_weights) — uniform: no info, unit
         weights.  Slots are drawn in AGE order so the n-step window never
         crosses the write cursor (replay/nstep.py).  ``gamma`` may be a traced
-        runtime value (HyperParams); defaults to the constructor's."""
+        runtime value (HyperParams); defaults to the constructor's.  ``beta``
+        (PER importance exponent) is accepted for protocol compatibility and
+        ignored — uniform sampling has unit weights."""
         from deep_q_learning_tpu.replay.nstep import assemble_learn_batch
 
         env_key, slot_key = jax.random.split(key)

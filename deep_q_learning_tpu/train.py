@@ -89,10 +89,12 @@ class Trainer:
         return self
 
     def set_hyper(self, **overrides):
-        """Swap runtime hyperparameters (gamma, eps_*) WITHOUT recompiling —
-        they are traced values in the runner state (algos/dqn.py::HyperParams).
-        Static config fields (shapes, cadences, network) cannot be changed
-        this way."""
+        """Swap runtime hyperparameters WITHOUT recompiling — they are traced
+        values in the runner state (algos/dqn.py::HyperParams): gamma, the ε
+        schedule, learning_rate, max_grad_norm, target_tau, per_beta, and the
+        cadence ints (train_every, training_start, target_sync_every,
+        target_replace_episodes).  Static config fields (shapes, network,
+        replay kind, schedule/sync MODE) cannot be changed this way."""
         import jax.numpy as jnp
 
         assert self.runner is not None, "call init() first"
@@ -101,7 +103,10 @@ class Trainer:
         if unknown:
             raise ValueError(f"not runtime hyperparams: {sorted(unknown)} (have {sorted(valid)})")
         h = self.runner.hyper.replace(
-            **{k: jnp.float32(v) for k, v in overrides.items()}
+            **{
+                k: jnp.asarray(v, getattr(self.runner.hyper, k).dtype)
+                for k, v in overrides.items()
+            }
         )
         self.runner = self.runner.replace(hyper=h)
         return self

@@ -30,6 +30,8 @@ def main() -> None:
         solve_threshold=None,  # trials run their full budget
         eps_schedule="exp_episode",  # the space tunes the ref's ε params
         target_sync_mode="episodes",
+        target_tau=None,  # Polyak off: the space tunes the ref's hard-sync
+        # cadence (target_replace_episodes), which Polyak would disable
     )
     objective = make_dqn_objective(base, env_steps_per_trial=args.steps_per_trial)
     result = optimize(objective, REFERENCE_SPACE, num_trials=args.trials)

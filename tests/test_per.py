@@ -176,3 +176,31 @@ def test_pallas_sampler_in_superstep():
     tr = Trainer(cfg).init()
     res = tr.train(max_env_steps=256, log_every=1, verbose=False)
     assert np.isfinite(res.history[-1]["loss"])
+
+
+def test_beta_is_runtime_value():
+    """``sample_with_info(..., beta=...)`` overrides the constructor's β as a
+    traced value: β=0 ⇒ all importance weights 1; larger β ⇒ more correction
+    (lower weight for over-sampled items) than smaller β."""
+    replay = PrioritizedReplay(2, 4, alpha=1.0, beta=0.4)
+    state = replay.init(make_transition(2, 0))
+    for t in range(4):
+        state = replay.add(state, make_transition(2, t))
+    state = state.replace(
+        priorities=jnp.array([[1.0, 1.0, 1.0, 1.0], [1.0, 1.0, 1.0, 8.0]])
+    )
+    key = jax.random.PRNGKey(3)
+
+    @jax.jit
+    def weights_at(beta):
+        _, _, w = replay.sample_with_info(state, key, 256, beta=beta)
+        return w
+
+    w0 = np.asarray(weights_at(jnp.float32(0.0)))
+    np.testing.assert_allclose(w0, 1.0)
+    w_lo = np.asarray(weights_at(jnp.float32(0.4)))
+    w_hi = np.asarray(weights_at(jnp.float32(1.0)))
+    # same key -> same sampled indices; stronger beta stretches the spread
+    assert w_hi.min() < w_lo.min()
+    np.testing.assert_allclose(w_lo.max(), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(w_hi.max(), 1.0, rtol=1e-6)

@@ -110,6 +110,65 @@ def test_set_hyper_validates_names():
         tr.set_hyper(batch_size=64)  # static field, not a runtime hyperparam
 
 
+def test_learning_rate_is_runtime():
+    """The LR flows through optax.inject_hyperparams as a traced value:
+    lr=0 must freeze the params, lr>0 must move them — same compiled fn."""
+    tr = Trainer(CFG).init()
+    tr.train(max_env_steps=512, verbose=False)  # compile + warmup
+    n_compiles = tr._superstep._cache_size()
+
+    def param_delta(lr):
+        tr.init()
+        tr.set_hyper(learning_rate=lr)
+        before = jax.tree.map(np.asarray, tr.runner.train.params)
+        tr.train(max_env_steps=512, verbose=False)
+        after = tr.runner.train.params
+        return max(
+            float(np.max(np.abs(np.asarray(a) - b)))
+            for a, b in zip(jax.tree.leaves(after), jax.tree.leaves(before))
+        )
+
+    assert param_delta(0.0) == 0.0
+    assert param_delta(1e-3) > 0.0
+    assert tr._superstep._cache_size() == n_compiles, "lr change recompiled!"
+
+
+def test_cadence_ints_are_runtime():
+    """train_every / training_start are traced int32 gates: making the
+    cadence unreachable must yield zero gradient updates without recompile."""
+    tr = Trainer(CFG).init()
+    tr.train(max_env_steps=512, verbose=False)
+    assert int(tr.runner.train.updates) > 0
+    n_compiles = tr._superstep._cache_size()
+
+    tr.init()
+    tr.set_hyper(train_every=1_000_000)
+    tr.train(max_env_steps=512, verbose=False)
+    assert int(tr.runner.train.updates) == 0
+    assert tr._superstep._cache_size() == n_compiles, "cadence change recompiled!"
+
+    # target_sync_every likewise.  Differential: a reachable cadence must
+    # move the target params off their init values; an unreachable one must
+    # leave them bitwise at init — same compiled superstep throughout.
+    def target_moved(sync_every):
+        tr.init()
+        tr.set_hyper(target_sync_every=sync_every)
+        init_target = jax.tree.map(np.asarray, tr.runner.train.target_params)
+        tr.train(max_env_steps=2048, verbose=False)  # 128 vector steps
+        assert int(tr.runner.train.updates) > 0
+        return any(
+            np.any(np.asarray(a) != b)
+            for a, b in zip(
+                jax.tree.leaves(tr.runner.train.target_params),
+                jax.tree.leaves(init_target),
+            )
+        )
+
+    assert target_moved(16)
+    assert not target_moved(1_000_000)
+    assert tr._superstep._cache_size() == n_compiles
+
+
 def test_periodic_eval_during_training():
     tr = Trainer(CFG).init()
     res = tr.train(max_env_steps=1024, log_every=2, eval_every=2, verbose=False)
