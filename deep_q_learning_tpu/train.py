@@ -17,6 +17,7 @@ Feature parity with ``Agent.training()``/``evaluate()``:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -43,11 +44,28 @@ class TrainResult:
 
 
 class Trainer:
-    """Build-once, step-many trainer for one config."""
+    """Build-once, step-many trainer for one config.
 
-    def __init__(self, cfg: DQNConfig, workdir: Optional[str] = None):
+    ``aot_cache_dir`` (or env ``DQL_TPU_AOT_CACHE``) enables the cross-process
+    executable cache (``utils/aot.py``): the superstep and evaluator are
+    AOT-compiled once and reloaded in ~0.2s by later processes — the remote
+    TPU backend ignores jax's persistent compilation cache, so without this
+    every process pays minutes of LunarLander compile."""
+
+    def __init__(
+        self,
+        cfg: DQNConfig,
+        workdir: Optional[str] = None,
+        aot_cache_dir: Optional[str] = None,
+    ):
         self.cfg = cfg
         self.workdir = workdir
+        self.aot_cache_dir = (
+            aot_cache_dir
+            if aot_cache_dir is not None
+            else os.environ.get("DQL_TPU_AOT_CACHE") or None
+        )
+        self._aot_loaded = False
         self.env, self.env_params = make_env(
             cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode
         )
@@ -86,6 +104,20 @@ class Trainer:
             jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
         )
         self.history = []
+        if self.aot_cache_dir and not self._aot_loaded:
+            # AOT-compile against the concrete runner/param avals (reload from
+            # the cross-process cache when this exact program was seen before)
+            from deep_q_learning_tpu.utils import aot
+
+            self._superstep = aot.load_or_compile(
+                self._superstep, self.runner,
+                cache_dir=self.aot_cache_dir, verbose=True,
+            )
+            self._evaluate = aot.load_or_compile(
+                self._evaluate, self.runner.train.params, jax.random.PRNGKey(0),
+                cache_dir=self.aot_cache_dir, verbose=True,
+            )
+            self._aot_loaded = True
         return self
 
     def set_hyper(self, **overrides):

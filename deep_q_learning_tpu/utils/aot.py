@@ -1,0 +1,112 @@
+"""AOT-compiled executable cache — cross-process compile reuse.
+
+The remote (axon) TPU backend ignores ``jax_compilation_cache_dir``: every
+process pays the full remote compile (CartPole superstep ~30s, LunarLander
+1.5-9 min for IDENTICAL programs; CLAUDE.md).  PjRt executable serialization
+(``jax.experimental.serialize_executable``) bypasses the compile service
+entirely — measured on the v5e tunnel, deserialize+load of a cached superstep
+executable costs ~0.2s vs minutes of compile.
+
+The reference has no equivalent: it re-jits its four compute functions at
+every process start (``/root/reference/General/QLearning/
+q_learning_functions.py:17,33,43,68``) and relies on whatever XLA's in-process
+cache gives it.
+
+Cache key = SHA-256 over (jax version, backend, device kind, the lowered
+StableHLO text).  Any change to the traced program — shapes, network width,
+replay kind, algorithm flags, static cadence MODES — produces a new entry,
+while runtime :class:`~deep_q_learning_tpu.algos.dqn.HyperParams` (traced
+inputs) share one.  Lowering runs locally and is cheap (<1s even for the
+LunarLander superstep); only the remote compile is skipped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import pickle
+import time
+from typing import Any
+
+import jax
+
+log = logging.getLogger(__name__)
+
+
+def _cache_key(lowered) -> str:
+    dev = jax.devices()[0]
+    src = "\x00".join(
+        [
+            jax.__version__,
+            jax.default_backend(),
+            getattr(dev, "device_kind", str(dev)),
+            lowered.as_text(),
+        ]
+    )
+    return hashlib.sha256(src.encode()).hexdigest()[:32]
+
+
+def _execution_device_ids(compiled) -> list:
+    """Device ids the executable was compiled for.  Needed at load time:
+    ``deserialize_and_load`` defaults to ALL client devices, which breaks
+    single-device programs on multi-device backends (e.g. the 8-virtual-CPU
+    test mesh)."""
+    try:
+        return [d.id for d in compiled._executable.xla_executable.local_devices()]
+    except Exception:
+        return [jax.devices()[0].id]
+
+
+def load_or_compile(jitted, *args: Any, cache_dir: str, verbose: bool = False):
+    """Return a compiled executable for ``jitted(*args)``, reusing a
+    serialized one from ``cache_dir`` when the lowered program matches.
+
+    ``jitted`` is a ``jax.jit``-wrapped function (donation and static
+    arguments are captured by the jit wrapper and preserved through
+    serialization).  The returned object is called like the jitted function
+    but accepts only arguments of the exact traced shapes/dtypes.
+
+    Cache read and write are both best-effort: a corrupt, stale, or
+    backend-incompatible entry falls back to a fresh compile and is
+    overwritten.
+    """
+    from jax.experimental import serialize_executable as se
+
+    lowered = jitted.lower(*args)
+    path = os.path.join(cache_dir, f"{_cache_key(lowered)}.jaxexec")
+    if os.path.exists(path):
+        try:
+            t0 = time.perf_counter()
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree, device_ids = pickle.load(f)
+            by_id = {d.id: d for d in jax.devices()}
+            compiled = se.deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=[by_id[i] for i in device_ids],
+            )
+            if verbose:
+                print(
+                    f"[aot] loaded cached executable in "
+                    f"{time.perf_counter() - t0:.1f}s: {path}",
+                    flush=True,
+                )
+            return compiled
+        except Exception as e:  # stale/corrupt/incompatible: recompile
+            log.warning("aot cache read failed (%s); recompiling", e)
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    if verbose:
+        print(f"[aot] compiled in {time.perf_counter() - t0:.1f}s", flush=True)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        payload, in_tree, out_tree = se.serialize(compiled)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(
+                (payload, in_tree, out_tree, _execution_device_ids(compiled)), f
+            )
+        os.replace(tmp, path)  # atomic: concurrent writers race benignly
+    except Exception as e:
+        log.warning("aot cache write failed (%s); continuing uncached", e)
+    return compiled

@@ -36,10 +36,18 @@ def main() -> None:
     ap.add_argument("--workdir", type=str, default="runs/lunar")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--rollouts", type=int, default=10)  # ref renders 10
+    ap.add_argument(
+        "--aot-cache", type=str, default="runs/aot_cache",
+        help="executable cache dir ('' disables): the remote TPU backend "
+        "ignores jax's compile cache, so reruns of an identical config "
+        "otherwise pay the full 1.5-9 min LunarLander compile every process",
+    )
     args = ap.parse_args()
 
     cfg = dataclasses.replace(PRESETS[args.preset](), seed=args.seed)
-    trainer = Trainer(cfg, workdir=args.workdir).init()
+    trainer = Trainer(
+        cfg, workdir=args.workdir, aot_cache_dir=args.aot_cache or None
+    ).init()
     result = trainer.train(max_env_steps=args.steps, log_every=20)
     print(
         f"solved={result.solved} env_steps={result.env_steps} "
