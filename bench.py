@@ -6,19 +6,21 @@ Prints ONE JSON line:
 Workload: BASELINE.json config 2 (CartPole vanilla DQN on vectorized pure-JAX
 envs) with the learner ON (train_every=1, batch 512): every counted env step
 comes from the full actor+replay+update superstep.  The instance count
-defaults to 16384 — measured single-chip sweep (artifacts/
+defaults to 131072 — measured single-chip sweep (artifacts/
 throughput_sweep.json): 4.1M steps/s at 4096 envs (dispatch-latency-bound
-over the remote tunnel), 48M at 16384, 64M at 65536.
+over the remote tunnel), 48M at 16384, 64M at 65536, 70.7M at 131072 (the
+peak; 262144+ dips to ~60M, HBM-bound on env state + replay traffic).
 
 ``vs_baseline`` compares against the 1M env-steps/s north-star aggregate
 target from BASELINE.json (the reference publishes no throughput numbers —
 its host loop steps ONE Gym env at a time; SURVEY.md §6).
 
 Robustness: the remote TPU compile service has high latency variance, so the
-preferred (large) config runs in a time-boxed subprocess; on timeout the
-benchmark falls back to the smaller config whose compile is reliably fast.
-Timing is against host-side scalar fetches (the tunnel's dispatch queue is
-async; see .claude/skills/verify).
+preferred (large) configs run in time-boxed subprocesses; on timeout the
+benchmark falls back to a smaller config whose compile is reliably fast.
+Compiled executables are cached on disk (utils/aot.py), so reruns skip the
+compile service entirely.  Timing is against host-side scalar fetches (the
+tunnel's dispatch queue is async; see .claude/skills/verify).
 """
 
 import json
@@ -52,7 +54,14 @@ def run_bench(num_envs: int) -> float:
         venv, p, net, make_optimizer(cfg), replay, cfg
     )
     runner = init_runner(jax.random.PRNGKey(0))
-    step = jax.jit(superstep, donate_argnums=0)
+    from deep_q_learning_tpu.utils import aot
+
+    step = aot.load_or_compile(
+        jax.jit(superstep, donate_argnums=0),
+        runner,
+        cache_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "runs", "aot_cache"),
+    )
 
     # warmup: compile + fill the buffer past training_start so the timed
     # region runs the full learner path
@@ -80,9 +89,10 @@ def main() -> None:
         return
 
     value = None
-    # one large-config attempt (remote-compile variance makes more attempts
-    # risk blowing the caller's budget), then the reliably-fast small config
-    for num_envs, budget in ((16384, 360),):
+    # large-config attempts, biggest first (each time-boxed: remote-compile
+    # variance must not blow the caller's budget; the on-disk executable
+    # cache makes reruns immune to it), then the reliably-fast small config
+    for num_envs, budget in ((131072, 420), (16384, 300)):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner", str(num_envs)],
