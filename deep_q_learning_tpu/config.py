@@ -186,13 +186,18 @@ def lunar_dddqn_vector() -> DQNConfig:
 def lunar_per() -> DQNConfig:
     """Config 4: LunarLander DDQN + prioritized replay (device two-level
     proportional sampler).  The SOLVING config: window 202 / greedy eval 204
-    at 29.5M env steps in ~80s of TPU v5e compute (+ compile)."""
+    at 29.5M env steps in ~80s of TPU v5e compute (+ compile).
+
+    ``use_pallas=True``: the fused TD+huber kernel and the MXU PER sampler
+    measure 0.54M vs 0.38M env-steps/s against the pure-XLA path on the v5e
+    (+42%); solve verified end-to-end (window 202 at 26.9M steps, eval 192)."""
     return dataclasses.replace(
         lunar_dddqn_vector(),
         replay="prioritized",
         per_alpha=0.6,
         per_beta=0.4,
         eps_min=0.01,
+        use_pallas=True,
     )
 
 

@@ -3,26 +3,32 @@
 The classic PER structure is a binary sum-tree descended leaf-ward per sample
 — a pointer-chasing, gather-heavy access pattern that is exactly what the TPU
 dislikes.  The TPU-native formulation keeps the same proportional
-distribution but recasts BOTH levels of the two-level categorical as dense
-vector/matrix ops (SURVEY.md §7 "PER sum-tree ... with TPU-friendly memory
-layout"):
+distribution but recasts the two-level categorical as dense vector/matrix
+ops (SURVEY.md §7 "PER sum-tree ... with TPU-friendly memory layout"):
 
-  level 1 (pick env rows ∝ row sums):
+  level 1 (pick env rows ∝ row sums) — PLAIN XLA, outside the kernel:
       row_cdf  = cumsum(row_sums)                  # (N,)
       env_idx  = Σ_n [row_cdf_n < u·total]         # rank via comparison-sum
-  row gather WITHOUT a gather:
+  level 2 — THE KERNEL (all O(B·C) work):
       rows     = onehot(env_idx) @ priorities      # (B,N)x(N,C) on the MXU
-  level 2 (pick slots within rows):
-      row_cdf2 = cumsum(rows, axis=1)              # (B, C)
-      slot_idx = Σ_c [row_cdf2 < u₂·row_total]
-  selected probability (for importance weights), again matmul-shaped:
-      p_sel    = Σ_c rows · onehot(slot_idx)
+      slot_idx = prefix_rank(rows, u₂·row_total)   # blocked, no cumsum
+      p_mass   = Σ_c rows · onehot(slot_idx)       # selected probability
 
-Everything is rectangular, layout-friendly, and runs in one kernel launch —
-no per-sample control flow, no log-depth loops, no scatter/gather.  Uniform
-draws come in as an input (``jax.random`` outside the kernel), keeping the
-kernel a pure deterministic function and identical across interpret/compiled
-modes.
+Split rationale (measured on the v5e Mosaic compiler): level 1 is O(B·N)
+scalar-broadcast work — ``cumsum`` has no Mosaic lowering and rank-1
+broadcasts against scalars / (1, N) row vectors crash the Mosaic relayout
+pass ("Invalid relayout ... vector<1x128xf32>"), while XLA already compiles
+them optimally.  Level 2 owns the large (B, C) arrays; inside the kernel its
+prefix sums are computed BLOCKED — 128-wide chunks multiplied by a 128×128
+upper-triangular ones matrix on the MXU with a per-row carry, statically
+unrolled (Mosaic lowers neither ``cumsum`` nor dynamic_slice-on-values) — so
+the full (B, C) cdf never materializes.
+
+Everything is rectangular, layout-friendly, and the heavy stage is one
+kernel launch — no per-sample control flow, no log-depth loops, no
+scatter/gather.  Uniform draws come in as inputs (``jax.random`` outside),
+keeping the kernel a pure deterministic function and identical across
+interpret/compiled modes.
 """
 
 from __future__ import annotations
@@ -36,52 +42,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _sample_kernel(
-    u_ref,
-    priorities_ref,
+_BLOCK = 128  # MXU tile edge
+
+
+def _slot_kernel(
     env_idx_ref,
+    u_slot_ref,
+    priorities_ref,
     slot_idx_ref,
-    p_sel_ref,
+    p_mass_ref,
     *,
     batch_size: int,
     num_envs: int,
     capacity: int,
 ):
     p = priorities_ref[:]  # (N, C)
+    env_idx = env_idx_ref[:]  # (B,) i32
 
-    # ---- level 1: env rows ∝ row sums --------------------------------------
-    row_sums = jnp.sum(p, axis=1)  # (N,)
-    row_cdf = jnp.cumsum(row_sums)  # (N,)
-    total = row_cdf[num_envs - 1]
-
-    u = u_ref[:]  # (2, B) uniforms in [0, 1)
-    u_env = u[0] * total  # (B,)
-    u_slot = u[1]  # (B,) scaled later per-row
-
-    # rank = number of cdf entries strictly below the draw  == searchsorted
-    below_env = row_cdf[None, :] < u_env[:, None]  # (B, N)
-    env_idx = jnp.sum(below_env.astype(jnp.int32), axis=1)
-    env_idx = jnp.minimum(env_idx, num_envs - 1)
-    env_idx_ref[:] = env_idx
-
-    # ---- row gather as one-hot matmul (MXU) ---------------------------------
+    # ---- row gather as one-hot matmul (MXU) --------------------------------
     col_n = jax.lax.broadcasted_iota(jnp.int32, (batch_size, num_envs), 1)
     onehot_env = (col_n == env_idx[:, None]).astype(jnp.float32)
     rows = jnp.dot(onehot_env, p, preferred_element_type=jnp.float32)  # (B, C)
 
-    # ---- level 2: slots within rows ----------------------------------------
-    row_cdf2 = jnp.cumsum(rows, axis=1)  # (B, C)
-    row_tot = row_cdf2[:, capacity - 1]
-    draws = u_slot * row_tot  # (B,)
-    below_slot = row_cdf2 < draws[:, None]  # (B, C)
-    slot_idx = jnp.sum(below_slot.astype(jnp.int32), axis=1)
-    slot_idx = jnp.minimum(slot_idx, capacity - 1)
+    # ---- slots within rows: blocked prefix rank -----------------------------
+    # rank = Σ_c [inclusive_prefix_sum(rows)[b, c] < draw_b]  == searchsorted.
+    # 128 columns at a time: block @ upper_triangular_ones on the MXU plus a
+    # per-row carry, statically unrolled.  Trailing zero padding is harmless:
+    # padded cdf entries equal the row total and every draw is strictly below
+    # it (u ∈ [0,1) ⇒ draw < row_total); all-zero rows yield rank 0.
+    draws = u_slot_ref[:] * jnp.sum(rows, axis=1)  # (B,)
+    c_pad = ((capacity + _BLOCK - 1) // _BLOCK) * _BLOCK
+    if c_pad != capacity:
+        rows_p = jnp.pad(rows, ((0, 0), (0, c_pad - capacity)))
+    else:
+        rows_p = rows
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 1)
+    upper_tri = (row_i <= col_i).astype(jnp.float32)  # inclusive prefix
+
+    count = jnp.zeros((batch_size,), jnp.int32)
+    carry = jnp.zeros((batch_size,), jnp.float32)
+    for k in range(c_pad // _BLOCK):
+        blk = rows_p[:, k * _BLOCK : (k + 1) * _BLOCK]  # static slice
+        cdf = carry[:, None] + jnp.dot(
+            blk, upper_tri, preferred_element_type=jnp.float32
+        )  # (B, BLOCK) inclusive prefix sums
+        count = count + jnp.sum((cdf < draws[:, None]).astype(jnp.int32), axis=1)
+        carry = cdf[:, _BLOCK - 1]
+    slot_idx = jnp.minimum(count, capacity - 1)
     slot_idx_ref[:] = slot_idx
 
     # ---- selected probability mass (for importance weights) ----------------
     col_c = jax.lax.broadcasted_iota(jnp.int32, (batch_size, capacity), 1)
     onehot_slot = (col_c == slot_idx[:, None]).astype(jnp.float32)
-    p_sel_ref[:] = jnp.sum(rows * onehot_slot, axis=1) / jnp.maximum(total, 1e-12)
+    p_mass_ref[:] = jnp.sum(rows * onehot_slot, axis=1)
 
 
 def prioritized_sample_pallas(
@@ -93,25 +107,38 @@ def prioritized_sample_pallas(
     """Returns ``(env_idx, slot_idx, p_selected)`` with p normalized by the
     total mass — a drop-in for the jnp two-level sampler's index stage."""
     n, c = priorities.shape
-    u = jax.random.uniform(key, (2, batch_size), jnp.float32)
+    env_key, slot_key = jax.random.split(key)
+
+    # level 1 in XLA (tiny; see module docstring for the split rationale)
+    row_sums = jnp.sum(priorities, axis=1)  # (N,)
+    row_cdf = jnp.cumsum(row_sums)
+    total = row_cdf[n - 1]
+    u_env = jax.random.uniform(env_key, (batch_size,), jnp.float32) * total
+    below = row_cdf[None, :] < u_env[:, None]  # (B, N)
+    env_idx = jnp.minimum(
+        jnp.sum(below.astype(jnp.int32), axis=1), n - 1
+    ).astype(jnp.int32)
+
+    u_slot = jax.random.uniform(slot_key, (batch_size,), jnp.float32)
     kernel = functools.partial(
-        _sample_kernel, batch_size=batch_size, num_envs=n, capacity=c
+        _slot_kernel, batch_size=batch_size, num_envs=n, capacity=c
     )
-    return pl.pallas_call(
+    slot_idx, p_mass = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((batch_size,), jnp.int32),
             jax.ShapeDtypeStruct((batch_size,), jnp.int32),
             jax.ShapeDtypeStruct((batch_size,), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # uniforms (2, B)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # priorities
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # env_idx (B,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u_slot (B,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # priorities (N, C)
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(u, priorities)
+    )(env_idx, u_slot, priorities)
+    p_sel = p_mass / jnp.maximum(total, 1e-12)
+    return env_idx, slot_idx, p_sel
