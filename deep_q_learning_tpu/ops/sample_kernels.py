@@ -12,7 +12,11 @@ ops (SURVEY.md §7 "PER sum-tree ... with TPU-friendly memory layout"):
   level 2 — THE KERNEL (all O(B·C) work):
       rows     = onehot(env_idx) @ priorities      # (B,N)x(N,C) on the MXU
       slot_idx = prefix_rank(rows, u₂·row_total)   # blocked, no cumsum
-      p_mass   = Σ_c rows · onehot(slot_idx)       # selected probability
+  selected probability (importance weights) — XLA gather outside:
+      p_sel    = priorities[env_idx, slot_idx] / total
+  (the MXU one-hot matmul rounds at ~bf16 precision, harmless for the
+  categorical draw but visible in the weights; the exact value is a trivial
+  (B,)-element gather)
 
 Split rationale (measured on the v5e Mosaic compiler): level 1 is O(B·N)
 scalar-broadcast work — ``cumsum`` has no Mosaic lowering and rank-1
@@ -50,7 +54,6 @@ def _slot_kernel(
     u_slot_ref,
     priorities_ref,
     slot_idx_ref,
-    p_mass_ref,
     *,
     batch_size: int,
     num_envs: int,
@@ -89,13 +92,7 @@ def _slot_kernel(
         )  # (B, BLOCK) inclusive prefix sums
         count = count + jnp.sum((cdf < draws[:, None]).astype(jnp.int32), axis=1)
         carry = cdf[:, _BLOCK - 1]
-    slot_idx = jnp.minimum(count, capacity - 1)
-    slot_idx_ref[:] = slot_idx
-
-    # ---- selected probability mass (for importance weights) ----------------
-    col_c = jax.lax.broadcasted_iota(jnp.int32, (batch_size, capacity), 1)
-    onehot_slot = (col_c == slot_idx[:, None]).astype(jnp.float32)
-    p_mass_ref[:] = jnp.sum(rows * onehot_slot, axis=1)
+    slot_idx_ref[:] = jnp.minimum(count, capacity - 1)
 
 
 def prioritized_sample_pallas(
@@ -123,22 +120,17 @@ def prioritized_sample_pallas(
     kernel = functools.partial(
         _slot_kernel, batch_size=batch_size, num_envs=n, capacity=c
     )
-    slot_idx, p_mass = pl.pallas_call(
+    slot_idx = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((batch_size,), jnp.int32),
-            jax.ShapeDtypeStruct((batch_size,), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((batch_size,), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # env_idx (B,)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # u_slot (B,)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # priorities (N, C)
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(env_idx, u_slot, priorities)
-    p_sel = p_mass / jnp.maximum(total, 1e-12)
+    # exact selected probability: XLA gather (see module docstring)
+    p_sel = priorities[env_idx, slot_idx] / jnp.maximum(total, 1e-12)
     return env_idx, slot_idx, p_sel
