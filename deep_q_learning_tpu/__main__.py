@@ -108,6 +108,9 @@ def cmd_train(args: argparse.Namespace) -> int:
         trainer = Trainer(
             cfg, workdir=args.workdir, aot_cache_dir=args.aot_cache or None
         ).init()
+        if args.resume:
+            trainer.restore()  # latest checkpoint in workdir (true resume:
+            # params, opt state, buffer, RNG, counters — SURVEY §5.4 fix)
         result = trainer.train(
             max_env_steps=args.max_env_steps,
             log_every=args.log_every,
@@ -149,6 +152,32 @@ def cmd_eval(args: argparse.Namespace) -> int:
             }
         )
     )
+    if args.rollout_dir:
+        # the reference's post-training phase: greedy rollouts from the
+        # loaded checkpoint (Test/lunar_lander.py:80-86; render -> .npz+PNG)
+        import os
+
+        import jax
+
+        from deep_q_learning_tpu.utils.visualize import (
+            dump_trajectory,
+            plot_lander_flight,
+            record_trajectory,
+        )
+
+        os.makedirs(args.rollout_dir, exist_ok=True)
+        for i in range(args.rollouts):
+            traj = record_trajectory(
+                trainer.env,
+                trainer.env_params,
+                trainer.network,
+                trainer.runner.train.params,
+                jax.random.PRNGKey(1000 + i),
+            )
+            dump_trajectory(f"{args.rollout_dir}/rollout_{i}.npz", traj)
+            if cfg.env_id.startswith("LunarLander"):
+                plot_lander_flight(traj, f"{args.rollout_dir}/rollout_{i}.png")
+            print(f"rollout {i}: return={traj['ret']:.1f} length={traj['length']}")
     return 0
 
 
@@ -219,12 +248,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="cross-process executable cache dir (utils/aot.py)",
     )
     p.add_argument("--history-out", type=str, default=None, metavar="JSONL")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="restore the latest checkpoint in --workdir before training",
+    )
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="greedy-evaluate a checkpoint")
     common(p)
     p.add_argument("--workdir", type=str, required=True)
     p.add_argument("--step", type=int, default=None, help="checkpoint step (default latest)")
+    p.add_argument(
+        "--rollout-dir", type=str, default=None,
+        help="also record greedy rollouts here (.npz + flight PNGs)",
+    )
+    p.add_argument("--rollouts", type=int, default=10)  # ref renders 10
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("hpo", help="Bayesian hyperparameter search")

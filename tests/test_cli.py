@@ -66,11 +66,26 @@ def test_cli_train_eval_roundtrip(tmp_path, capsys):
     hist = [json.loads(l) for l in open(tmp_path / "hist.jsonl")]
     assert hist and "window_mean" in hist[0]
 
-    rc = main(["eval", "--preset", "cartpole_vector", *TINY, "--workdir", workdir])
+    rc = main(
+        ["eval", "--preset", "cartpole_vector", *TINY, "--workdir", workdir,
+         "--rollout-dir", str(tmp_path / "rollouts"), "--rollouts", "2"]
+    )
     assert rc == 0
-    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out = capsys.readouterr().out.strip().splitlines()
+    report = json.loads(out[0])
     assert report["episodes"] >= 8
     assert report["length_mean"] > 0
+    assert (tmp_path / "rollouts" / "rollout_1.npz").exists()
+
+    # resume: restore the latest checkpoint and keep training
+    rc = main(
+        ["train", "--preset", "cartpole_vector", *TINY, "--resume",
+         "--max-env-steps", "1024", "--log-every", "2",
+         "--workdir", workdir, "--quiet"]
+    )
+    assert rc == 0
+    resumed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resumed["env_steps"] >= 1024
 
 
 def test_cli_train_distributed(capsys):
