@@ -9,3 +9,9 @@ from deep_q_learning_tpu.parallel.distributed import (
     aggregate_metrics,
     build_distributed_superstep,
 )
+from deep_q_learning_tpu.parallel.population import (
+    build_population,
+    candidate_overrides,
+    set_population_hyper,
+    train_population,
+)

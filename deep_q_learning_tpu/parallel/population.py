@@ -1,0 +1,179 @@
+"""Population training: K independent agents train in lockstep on one chip.
+
+The reference evaluates hyperparameter candidates strictly sequentially —
+one ``agent.training()`` per Bayesian-optimization trial
+(``/root/reference/General/QLearning/hyperparameter_optimization.py:126-132``),
+20 full training runs back to back on the host.  On a TPU the same search is
+a *batch* dimension: the superstep is a pure function of the runner pytree,
+and every hyperparameter that matters for search is a traced value inside it
+(:class:`~deep_q_learning_tpu.algos.dqn.HyperParams`), so ``jax.vmap`` over
+the runner state trains K members — each with its OWN γ, ε-schedule,
+learning rate, cadences, replay buffer, and network init — concurrently in
+ONE compiled program.  Member count is a leading axis, not a loop.
+
+Uses beyond HPO: seed-robustness sweeps (same hyperparams, K seeds) and
+population-based training variants.
+
+Notes:
+  * Per-member *static* config (batch size, network width, replay kind)
+    cannot vary inside one population — those change program shapes; run one
+    population per static config instead (same rule as ``Trainer.set_hyper``).
+  * Under ``vmap``, the train/sync ``lax.cond`` gates become ``select``s, so
+    every member pays the learner cost every gated step regardless of its
+    cadence values.  Throughput per member therefore tracks the most
+    update-heavy member; correctness is unaffected.
+  * HBM: K full runner states (K × replay buffer) — size populations
+    accordingly (a 64-member CartPole population with 2^16-capacity buffers
+    is ~a few hundred MB).
+  * ``use_pallas`` configs are rejected: the Mosaic kernels are written for
+    unbatched (B, ·) operands; the XLA path is vmap-transparent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_q_learning_tpu.config import DQNConfig
+
+
+def build_population(
+    cfg: DQNConfig, num_members: int
+) -> Tuple[Callable, Callable, Any]:
+    """Build ``(init_population, population_step, network)``.
+
+    ``init_population(key) -> runner`` where every leaf gains a leading
+    ``(num_members,)`` axis (independent env states, buffers, and network
+    params per member); ``population_step(runner) -> (runner, metrics)`` is
+    the vmapped superstep — jit it with ``donate_argnums=0``.
+    """
+    if cfg.use_pallas:
+        raise ValueError(
+            "population training requires use_pallas=False (the Mosaic "
+            "kernels are unbatched; the XLA path is vmap-transparent)"
+        )
+    from deep_q_learning_tpu.envs import VectorEnv, make_env
+    from deep_q_learning_tpu.models import QNetwork
+    from deep_q_learning_tpu.replay import make_replay
+    from deep_q_learning_tpu.algos import build_superstep, make_optimizer
+
+    env, env_params = make_env(
+        cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode
+    )
+    venv = VectorEnv(env, cfg.num_envs)
+    network = QNetwork(
+        num_actions=env.num_actions,
+        hidden=cfg.hidden,
+        dueling=cfg.dueling,
+        compute_dtype=jnp.bfloat16
+        if cfg.compute_dtype == "bfloat16"
+        else jnp.float32,
+    )
+    init_runner, superstep = build_superstep(
+        venv, env_params, network, make_optimizer(cfg), make_replay(cfg), cfg
+    )
+
+    def init_population(key: jax.Array):
+        return jax.vmap(init_runner)(jax.random.split(key, num_members))
+
+    return init_population, jax.vmap(superstep), network
+
+
+def set_population_hyper(runner, **overrides):
+    """Per-member runtime hyperparameters.
+
+    Each override is a scalar (broadcast to all members) or a length-K
+    array/list (one value per member); names follow
+    :class:`~deep_q_learning_tpu.algos.dqn.HyperParams`."""
+    num_members = runner.hyper.gamma.shape[0]
+    valid = set(runner.hyper.__dataclass_fields__)
+    unknown = set(overrides) - valid
+    if unknown:
+        raise ValueError(
+            f"not runtime hyperparams: {sorted(unknown)} (have {sorted(valid)})"
+        )
+    new = {}
+    for k, v in overrides.items():
+        dtype = getattr(runner.hyper, k).dtype
+        arr = jnp.asarray(v, dtype)
+        if arr.ndim == 0:
+            arr = jnp.full((num_members,), arr)
+        if arr.shape != (num_members,):
+            raise ValueError(
+                f"{k}: expected scalar or shape ({num_members},), got {arr.shape}"
+            )
+        new[k] = arr
+    return runner.replace(hyper=runner.hyper.replace(**new))
+
+
+def train_population(
+    cfg: DQNConfig,
+    num_members: int,
+    max_env_steps: int,
+    hyper_overrides: Optional[Dict[str, Any]] = None,
+    seed: int = 0,
+    eval_after: bool = True,
+    eval_envs: int = 32,
+    verbose: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Train K members to an env-step budget; return per-member results.
+
+    Returns ``{"window_mean": (K,), "episodes": (K,), "env_steps": int,
+    "eval_mean": (K,)?}`` — ``eval_mean`` is the true greedy eval return per
+    member (the corrected HPO objective; the reference returned the training
+    window, SURVEY §3.3)."""
+    from deep_q_learning_tpu.envs import VectorEnv, make_env
+    from deep_q_learning_tpu.algos.evaluate import build_evaluator
+
+    init_population, population_step, network = build_population(cfg, num_members)
+    runner = init_population(jax.random.PRNGKey(seed))
+    if hyper_overrides:
+        runner = set_population_hyper(runner, **hyper_overrides)
+    step = jax.jit(population_step, donate_argnums=0)
+
+    steps_per_call = cfg.steps_per_superstep * cfg.num_envs
+    num_calls = max(1, -(-max_env_steps // steps_per_call))
+    for i in range(num_calls):
+        runner, metrics = step(runner)
+        if verbose and (i + 1) % 10 == 0:
+            wm = np.asarray(metrics.window_mean)
+            print(
+                f"[population] superstep {i + 1}/{num_calls} window "
+                f"min/med/max = {wm.min():.1f}/{np.median(wm):.1f}/{wm.max():.1f}",
+                flush=True,
+            )
+    out: Dict[str, Any] = {
+        "window_mean": np.asarray(metrics.window_mean),
+        "episodes": np.asarray(metrics.episodes),
+        "env_steps": int(np.asarray(metrics.env_steps)[0]) * cfg.num_envs,
+    }
+    if eval_after:
+        env, env_params = make_env(
+            cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode
+        )
+        evaluate = build_evaluator(
+            VectorEnv(env, eval_envs), env_params, network,
+            env_params.max_steps_in_episode,
+        )
+        rets, _ = jax.jit(jax.vmap(evaluate, in_axes=(0, 0)))(
+            runner.train.params,
+            jax.random.split(jax.random.PRNGKey(seed + 1), num_members),
+        )
+        out["eval_mean"] = np.asarray(rets).mean(axis=1)
+    return out
+
+
+def candidate_overrides(candidates) -> Dict[str, np.ndarray]:
+    """Stack a list of per-member hyperparameter dicts (all with the same
+    keys) into the array-valued mapping ``train_population`` expects."""
+    if not candidates:
+        raise ValueError("no candidates")
+    keys = set(candidates[0])
+    for c in candidates:
+        if set(c) != keys:
+            raise ValueError("candidates must share the same hyperparam keys")
+    return {k: np.asarray([c[k] for c in candidates]) for k in sorted(keys)}
