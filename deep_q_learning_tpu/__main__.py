@@ -189,14 +189,34 @@ def cmd_hpo(args: argparse.Namespace) -> int:
     )
 
     cfg = build_config(args.preset, args.set or [])
-    objective = make_dqn_objective(cfg, env_steps_per_trial=args.steps_per_trial)
-    result = optimize(
-        objective,
-        space=REFERENCE_SPACE,
-        num_trials=args.trials,
-        seed=args.seed or 1000,
-        verbose=not args.quiet,
-    )
+    if args.population > 1:
+        import dataclasses as _dc
+
+        from deep_q_learning_tpu.hpo.bayesopt import (
+            make_population_objective,
+            optimize_batched,
+        )
+
+        if cfg.use_pallas:
+            print("note: population HPO disables the (unbatched) Pallas kernels")
+            cfg = _dc.replace(cfg, use_pallas=False)
+        result = optimize_batched(
+            make_population_objective(cfg, env_steps_per_trial=args.steps_per_trial),
+            space=REFERENCE_SPACE,
+            num_trials=args.trials,
+            batch_q=args.population,
+            seed=args.seed or 1000,
+            verbose=not args.quiet,
+        )
+    else:
+        objective = make_dqn_objective(cfg, env_steps_per_trial=args.steps_per_trial)
+        result = optimize(
+            objective,
+            space=REFERENCE_SPACE,
+            num_trials=args.trials,
+            seed=args.seed or 1000,
+            verbose=not args.quiet,
+        )
     print(
         json.dumps(
             {"best_objective": result.best_objective, "best_params": result.best_params}
@@ -269,6 +289,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     common(p)
     p.add_argument("--trials", type=int, default=20)  # ref: 20 runs
     p.add_argument("--steps-per-trial", type=int, default=2_000_000)
+    p.add_argument(
+        "--population", type=int, default=1, metavar="Q",
+        help="evaluate Q candidates per GP round as ONE vmapped population "
+        "(candidates sharing static fields train concurrently on device)",
+    )
     p.add_argument("--history-out", type=str, default=None, metavar="JSONL")
     p.set_defaults(fn=cmd_hpo)
 

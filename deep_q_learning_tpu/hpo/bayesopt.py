@@ -229,3 +229,137 @@ def make_dqn_objective(
         return float(np.mean(rets))
 
     return objective
+
+
+# ---------------------------------------------------------------------------
+# Batched BO: q candidates per GP round, evaluated as ONE population
+# ---------------------------------------------------------------------------
+
+def _select_batch_ucb(
+    gp: "_GP",
+    xs: List[np.ndarray],
+    ys: List[float],
+    cand: np.ndarray,
+    q: int,
+    kappa: float,
+) -> np.ndarray:
+    """Greedy q-point UCB with the constant-liar heuristic: after each pick,
+    pretend it returned its posterior mean and refit, so later picks spread
+    instead of piling onto one optimum."""
+    fake_x, fake_y = list(xs), list(ys)
+    picks = []
+    for _ in range(q):
+        gp.fit(np.stack(fake_x), np.asarray(fake_y))
+        mu, sigma = gp.predict(cand)
+        best = int(np.argmax(mu + kappa * sigma))
+        picks.append(cand[best])
+        fake_x.append(cand[best])
+        fake_y.append(float(mu[best]))  # the "lie"
+        cand = np.delete(cand, best, axis=0)
+    return np.stack(picks)
+
+
+def optimize_batched(
+    batch_objective_fn: Callable[[List[Dict[str, float]]], List[float]],
+    space: Sequence[Param] = REFERENCE_SPACE,
+    num_trials: int = 20,
+    batch_q: int = 5,
+    kappa: float = 1.96,
+    seed: int = 1000,
+    num_candidates: int = 4096,
+    verbose: bool = True,
+) -> HPOResult:
+    """GP-UCB where each round proposes ``batch_q`` points and evaluates them
+    with ONE call to ``batch_objective_fn`` — pair with
+    :func:`make_population_objective` to train all q candidates concurrently
+    on device (population training) instead of sequentially like the
+    reference's 20 back-to-back runs."""
+    rng = np.random.RandomState(seed)
+    d = len(space)
+    xs: List[np.ndarray] = []
+    ys: List[float] = []
+    trials: List[Trial] = []
+
+    def run(us: np.ndarray) -> None:
+        params = [
+            {p.name: p.denorm(float(u[i])) for i, p in enumerate(space)} for u in us
+        ]
+        vals = batch_objective_fn(params)
+        for u, pr, y in zip(us, params, vals):
+            xs.append(u)
+            ys.append(float(y))
+            trials.append(Trial(params=pr, objective=float(y)))
+            if verbose:
+                print(
+                    f"[hpo] trial {len(ys):3d}: objective={y:9.3f} params={pr}",
+                    flush=True,
+                )
+
+    run(rng.rand(min(batch_q, num_trials), d))  # random init round
+    gp = _GP()
+    while len(ys) < num_trials:
+        q = min(batch_q, num_trials - len(ys))
+        cand = rng.rand(num_candidates, d)
+        run(_select_batch_ucb(gp, xs, ys, cand, q, kappa))
+
+    best = int(np.argmax(ys))
+    return HPOResult(
+        best_params=trials[best].params,
+        best_objective=trials[best].objective,
+        trials=trials,
+    )
+
+
+def make_population_objective(
+    base_cfg,
+    env_steps_per_trial: int,
+    eval_seed: int = 0,
+    eval_envs: int = 32,
+) -> Callable[[List[Dict[str, float]]], List[float]]:
+    """Batch objective: candidates that differ only in RUNTIME hyperparams
+    train as one vmapped population (``parallel/population.py``) — one
+    compile, one device program, q concurrent trainings.  Candidates whose
+    STATIC fields differ (e.g. ``batch_size``, which changes array shapes)
+    are grouped: one population per distinct static combination.  Pin static
+    fields in ``base_cfg`` (drop them from the search space) to keep every
+    round a single program."""
+    from deep_q_learning_tpu.parallel.population import (
+        candidate_overrides,
+        train_population,
+    )
+
+    runtime = set(_RUNTIME_PARAMS)
+    if base_cfg.target_tau is None:
+        runtime.discard("target_tau")
+    if base_cfg.max_grad_norm is None:
+        runtime.discard("max_grad_norm")
+
+    def batch_objective(candidates: List[Dict[str, float]]) -> List[float]:
+        typed = [
+            {k: (int(v) if isinstance(v, int) else v) for k, v in c.items()}
+            for c in candidates
+        ]
+        groups: Dict[tuple, List[int]] = {}
+        for i, c in enumerate(typed):
+            key = tuple(sorted((k, v) for k, v in c.items() if k not in runtime))
+            groups.setdefault(key, []).append(i)
+        out = [0.0] * len(typed)
+        for static_kv, idxs in groups.items():
+            cfg = dataclasses.replace(base_cfg, **dict(static_kv))
+            dyn = [
+                {k: v for k, v in typed[i].items() if k in runtime} for i in idxs
+            ]
+            overrides = candidate_overrides(dyn) if dyn[0] else None
+            res = train_population(
+                cfg,
+                num_members=len(idxs),
+                max_env_steps=env_steps_per_trial,
+                hyper_overrides=overrides,
+                seed=eval_seed,
+                eval_envs=eval_envs,
+            )
+            for j, i in enumerate(idxs):
+                out[i] = float(res["eval_mean"][j])
+        return out
+
+    return batch_objective

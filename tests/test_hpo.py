@@ -65,3 +65,50 @@ def test_dqn_objective_fresh_per_trial():
     assert np.isfinite(v1) and np.isfinite(v2)
     # same params, fresh trainers with same seed -> identical objective
     assert v1 == v2
+
+
+def test_batched_bo_finds_quadratic_optimum():
+    from deep_q_learning_tpu.hpo.bayesopt import optimize_batched
+
+    space = (Param("x", -2.0, 4.0), Param("y", -1.0, 3.0))
+    batches = []
+
+    def f_batch(cands):
+        batches.append(len(cands))
+        return [-((p["x"] - 1.0) ** 2) - (p["y"] - 0.5) ** 2 for p in cands]
+
+    res = optimize_batched(
+        f_batch, space, num_trials=24, batch_q=6, seed=3, verbose=False
+    )
+    assert len(res.trials) == 24
+    assert batches == [6, 6, 6, 6]  # q candidates per round, one call each
+    assert res.best_objective > -0.2, f"batched BO missed optimum: {res.best_params}"
+
+
+def test_population_objective_end_to_end():
+    """Population objective: candidates sharing static fields train as one
+    vmapped program; distinct batch_size values form separate groups."""
+    import dataclasses
+
+    from deep_q_learning_tpu.config import cartpole_vector
+    from deep_q_learning_tpu.hpo.bayesopt import make_population_objective
+
+    cfg = dataclasses.replace(
+        cartpole_vector(),
+        num_envs=8,
+        steps_per_superstep=8,
+        hidden=(16, 16),
+        batch_size=16,
+        buffer_capacity=512,
+        training_start=32,
+        return_window=8,
+    )
+    objective = make_population_objective(cfg, env_steps_per_trial=256, eval_envs=8)
+    cands = [
+        {"gamma": 0.99, "learning_rate": 1e-3, "batch_size": 16},
+        {"gamma": 0.95, "learning_rate": 3e-4, "batch_size": 16},
+        {"gamma": 0.97, "learning_rate": 1e-3, "batch_size": 24},  # own group
+    ]
+    vals = objective(cands)
+    assert len(vals) == 3
+    assert all(np.isfinite(v) for v in vals)
