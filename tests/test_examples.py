@@ -78,3 +78,23 @@ def test_evaluate_checkpoint_script(tmp_path, monkeypatch, capsys):
 def test_hpo_script_importable():
     import examples.hyperparameter_search  # noqa: F401
     import examples.train_multihost  # noqa: F401
+
+
+def test_population_sweep_script(tmp_path, monkeypatch, capsys):
+    import examples.population_sweep as script
+
+    monkeypatch.setattr(
+        script, "PRESETS", {"cartpole_vector": lambda: TINY}
+    )
+    out_json = os.path.join(str(tmp_path), "sweep.json")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["x", "--members", "2", "--steps", "128", "--num-envs", "8",
+         "--out", out_json],
+    )
+    script.main()
+    assert "eval" in capsys.readouterr().out
+    import json
+
+    data = json.load(open(out_json))
+    assert len(data["values"]) == 2 and len(data["eval_mean"]) == 2
