@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import random
 import statistics
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -83,6 +83,8 @@ class HostAgent:
         self.reward_history: List[float] = []
         self.episodes = 0
         self._py_rng = random.Random(cfg.seed)
+        self._global_steps = 0
+        self._last_loss = float("nan")
 
     # ------------------------------------------------------------- policy
     def policy(self, obs: np.ndarray) -> int:
@@ -133,13 +135,20 @@ class HostAgent:
         return total, steps
 
     def training(
-        self, max_episodes: int = 10_000, verbose: bool = True
+        self,
+        max_episodes: int = 10_000,
+        verbose: bool = True,
+        on_episode=None,
+        max_total_steps: Optional[int] = None,
     ) -> Tuple[bool, int]:
         """Episode loop with target sync / ε decay / solve stop
-        (ref q_agent.py:209-222)."""
+        (ref q_agent.py:209-222).
+
+        ``on_episode(episode, return, steps, global_steps, window_avg, eps)``
+        is called after every episode (curve logging); ``max_total_steps``
+        bounds the total env-step budget.
+        """
         cfg = self.cfg
-        self._global_steps = 0
-        self._last_loss = float("nan")
         max_steps = cfg.max_steps_in_episode or 1000
         for episode in range(1, max_episodes + 1):
             total, steps = self.run_episode(max_steps)
@@ -152,6 +161,8 @@ class HostAgent:
             # per-episode ε decay with floor (ref q_agent.py:120-121)
             self.epsilon = max(self.epsilon * cfg.eps_decay, cfg.eps_min)
             avg = statistics.fmean(self.reward_history)
+            if on_episode is not None:
+                on_episode(episode, total, steps, self._global_steps, avg, self.epsilon)
             if verbose and episode % 50 == 0:
                 print(
                     f"episode {episode}: return {total:.1f} "
@@ -164,6 +175,8 @@ class HostAgent:
                 and avg >= cfg.solve_threshold
             ):
                 return True, episode
+            if max_total_steps is not None and self._global_steps >= max_total_steps:
+                return False, episode
         return False, max_episodes
 
     def evaluate(self, episodes: int = 10) -> List[float]:

@@ -1,35 +1,52 @@
-"""LunarLander-v2 dynamics in pure JAX (Box2D-free).
+"""LunarLander dynamics in pure JAX (Box2D-free, Box2D-calibrated).
 
-The reference trains on Gym's `LunarLander-v2` (Box2D on the host,
+The reference trains on Gym's ``LunarLander-v2`` (Box2D on the host,
 ``/root/reference/Test/lunar_lander.py:44``); every env step is a host call
-(``q_agent.py:177``).  This module re-implements the *task* — same action
-space, observation layout, reward shaping, and termination semantics as the
-published environment spec — as pure jittable JAX, so thousands of landers
-step in lockstep on the TPU.
+(``q_agent.py:177``).  This module re-implements the task as pure jittable
+JAX so thousands of landers step in lockstep on the TPU.
 
-Faithfulness notes (what matches the published spec):
-  * 50 FPS frame time, world gravity -10, SCALE 30 with a 600x400 viewport
-    => world is 20 x 13.33 units, helipad at H/4.
-  * Discrete actions {nop, left engine, main engine, right engine};
-    MAIN_ENGINE_POWER 13.0, SIDE_ENGINE_POWER 0.6, with per-firing dispersion
-    noise; fuel costs -0.30 (main) and -0.03 (side) per frame.
-  * Observation: [x, y (helipad-relative, normalized), vx, vy (normalized),
-    angle, 20*omega/FPS, leg1_contact, leg2_contact].
-  * Shaping reward: 100*(shaping_t - shaping_{t-1}) with
-    shaping = -100*dist - 100*speed - 100*|angle| + 10*leg1 + 10*leg2,
-    terminal -100 on crash / out-of-bounds, +100 on rest.
-  * Terrain: 11 seeded chunk heights, smoothed, with a flat helipad across
-    the center 5 chunks.
+Fidelity contract (round 2 — checked against gymnasium's canonical Box2D
+implementation, ``gymnasium/envs/box2d/lunar_lander.py``):
 
-Deliberate simplification (documented divergence): the Box2D rigid-body
-solver (polygon hull, revolute leg joints, sequential-impulse contacts) is
-replaced by a single rigid body with two leg-tip contact points resolved by
-inelastic normal impulses + Coulomb-style tangential damping.  Fixed-seed
-trajectories are *exactly reproducible* within this env (jit-vs-jit bitwise;
-tested), and cross-checked against an independent numpy transcription of the
-same dynamics; step-level Box2D parity is NOT claimed — task-level parity is
-validated by a heuristic-controller landing test (scores >200, as the same
-controller does on the Box2D env) and by DQN learning curves.
+  * **Exact** (same formulas, same constants): world geometry (FPS 50,
+    SCALE 30, 600x400 viewport, helipad at H/4), terrain generation
+    (CHUNKS+1 uniform heights on [0, H/2], helipad substitution across the
+    center 5 indices *before* the 3-tap 0.33 smoothing — including the
+    published quirks that the pad floor therefore sits at 0.99*H/4 and the
+    left edge wraps via Python negative indexing), observation layout and
+    normalization, shaping reward, fuel costs (-0.30/-0.03 per frame),
+    engine impulse vectors INCLUDING dispersion noise geometry and the
+    side-engine 17-vs-14 impulse-position quirk, the initial random force
+    on reset, reset's internal nop step (the first observation already has
+    one physics frame applied), wind/turbulence (v3's deterministic
+    tanh(sin) pattern gated on leg contact), and semi-implicit Euler
+    integration at dt = 1/50.
+
+  * **Measured from Box2D** (constants extracted by instantiating the real
+    bodies; see docstring of each constant): hull mass 4.8167 (density 5 x
+    hull polygon area 867 px^2), total assembly mass 4.9589, composite
+    rotational inertia 0.953 about the assembly COM, COM offset 0.0981
+    above the body origin, settled leg-tip contact points at
+    (+-0.8577, -0.6127) in the hull frame, contact skin 0.019 (Box2D
+    polygon/edge radius), ground-leg friction mu = sqrt(0.1*0.2).
+
+  * **Approximated** (documented divergence): Box2D's sequential-impulse
+    solver over the 3-body assembly (hull + 2 legs on motorized revolute
+    joints) is replaced by a single rigid body with two leg-tip contact
+    points resolved by a fixed-iteration (4) impulse solver with accumulated
+    normal/friction impulses — the same algorithm Box2D uses, minus the leg
+    joints.  Leg-joint give-way under hard impacts (the real crash
+    mechanism) is modeled as a calibrated impact-speed threshold: measured
+    on Box2D, a vertical touchdown <= 1.5 m/s always survives and >= 2.5
+    always crashes, with a chaotic joint-phase-dependent band between
+    (artifacts/gym_parity.json); V_CRASH = 2.0 splits it.  Box2D's sleep
+    (the +100 "rest" trigger) is modeled with its real tolerances (0.01
+    linear, 2 deg/s angular, 0.5 s timer).
+
+Fixed-seed trajectories are exactly reproducible within this env (jit vs
+jit, bitwise; tested).  Step-level Box2D parity is measured, not assumed:
+``envs/gym_compat.py`` injects matched initial states and reports per-step
+divergence (free flight is float-exact; contact diverges by design).
 """
 
 from __future__ import annotations
@@ -42,7 +59,7 @@ from flax import struct
 
 from deep_q_learning_tpu.envs.base import Environment, EnvParams
 
-# world geometry (published spec constants)
+# ----------------------------- published spec constants --------------------
 FPS = 50.0
 SCALE = 30.0
 VIEWPORT_W = 600.0
@@ -54,7 +71,8 @@ HELIPAD_Y = H / 4.0
 
 MAIN_ENGINE_POWER = 13.0
 SIDE_ENGINE_POWER = 0.6
-INITIAL_RANDOM = 1000.0  # magnitude of the random kick applied at reset
+MAIN_ENGINE_Y_LOCATION = 4.0  # px; nozzle offset below the body origin
+INITIAL_RANDOM = 1000.0  # reset force magnitude (applied for one frame)
 
 LEG_AWAY = 20.0 / SCALE
 LEG_DOWN = 18.0 / SCALE
@@ -62,26 +80,45 @@ LEG_H = 8.0 / SCALE
 SIDE_ENGINE_HEIGHT = 14.0 / SCALE
 SIDE_ENGINE_AWAY = 12.0 / SCALE
 
-# effective rigid-body constants (hull density 5.0 over the published hull
-# polygon gives ~4.8 mass units; legs add ~0.2; inertia from the hull extent)
-LANDER_MASS = 5.0
-LANDER_INERTIA = 1.5
-HULL_CLEARANCE = 10.0 / SCALE  # hull bottom below COM; contact below => crash
+# ------------------- constants measured from the Box2D bodies --------------
+# (hull fixture: LANDER_POLY at density 5 -> b2Body.mass/inertia/localCenter;
+# legs: 2x8 px boxes at density 1; assembly values from mass-weighted sums at
+# the settled leg pose.  See artifacts/gym_parity.json "constants" section.)
+HULL_MASS = 4.8167  # b2 lander.mass
+TOTAL_MASS = 4.9589  # hull + 2 legs
+INERTIA = 0.953  # composite inertia about the assembly COM
+COM_OFFSET = 0.0981  # assembly COM above the body origin (body frame y)
+LEG_TIP_X = 0.8577  # settled leg lowest-corner offset from body origin
+LEG_TIP_Y = -0.6127
+CONTACT_SKIN = 0.019  # b2 polygon+edge radius: legs rest this high above ground
+HULL_BOTTOM = (-17.0 / SCALE, 17.0 / SCALE, -10.0 / SCALE)  # corners (x1,x2,y)
+MU = 0.14142  # sqrt(ground 0.1 x leg 0.2) Box2D friction mixing
+J_CRASH = 5.5  # per-leg normal impulse (N*s) above which the joint gives way
+# (vertical 2-leg touchdown at the Box2D survive/crash boundary ~2 m/s puts
+# ~TOTAL_MASS*2.2/2 = 5.4 N*s through each leg; 1.5 m/s puts ~4.2)
+SLOP = 0.005  # b2_linearSlop: contacts persist within this band (no flicker)
+LIN_SLEEP_TOL = 0.01  # b2_linearSleepTolerance
+ANG_SLEEP_TOL = 0.0349  # b2_angularSleepTolerance (2 deg/s)
+SLEEP_FRAMES = 25  # b2_timeToSleep 0.5 s at 50 FPS
+SOLVER_ITERS = 4
 
 
 @struct.dataclass
 class LunarLanderState:
-    x: jax.Array
+    x: jax.Array  # hull body-origin world position (gym's lander.position)
     y: jax.Array
-    vx: jax.Array
+    vx: jax.Array  # COM linear velocity (gym's lander.linearVelocity)
     vy: jax.Array
     angle: jax.Array
     omega: jax.Array
-    leg1: jax.Array  # bool contact
+    leg1: jax.Array  # bool: contact at start of last step (gym BeginContact)
     leg2: jax.Array
-    terrain: jax.Array  # (CHUNKS,) chunk heights
+    terrain: jax.Array  # (CHUNKS,) smoothed surface heights
     prev_shaping: jax.Array
     t: jax.Array
+    sleep: jax.Array  # consecutive below-tolerance frames (Box2D sleep timer)
+    wind_idx: jax.Array
+    torque_idx: jax.Array
 
 
 @struct.dataclass
@@ -91,6 +128,7 @@ class LunarLanderParams(EnvParams):
     enable_wind: bool = struct.field(pytree_node=False, default=False)
     wind_power: float = 15.0
     turbulence_power: float = 1.5
+    dispersion_scale: float = 1.0  # scales engine dispersion noise (1 = spec)
     max_steps_in_episode: int = struct.field(pytree_node=False, default=1000)
 
 
@@ -105,8 +143,14 @@ def _terrain_height(terrain: jax.Array, x: jax.Array) -> jax.Array:
     return h0 * (1.0 - frac) + h1 * frac
 
 
+def _wind_pattern(idx: jax.Array) -> jax.Array:
+    """gymnasium v3's deterministic wind: tanh(sin(2kx) + sin(pi kx)), k=0.01."""
+    f = idx.astype(jnp.float32)
+    return jnp.tanh(jnp.sin(0.02 * f) + jnp.sin(jnp.pi * 0.01 * f))
+
+
 class LunarLander(Environment[LunarLanderState, LunarLanderParams]):
-    """LunarLander-v2 task in pure JAX; see module docstring for fidelity."""
+    """LunarLander task in pure JAX; see module docstring for fidelity."""
 
     def default_params(self) -> LunarLanderParams:
         return LunarLanderParams()
@@ -120,30 +164,32 @@ class LunarLander(Environment[LunarLanderState, LunarLanderParams]):
 
     # ------------------------------------------------------------------ reset
     def reset_env(self, key: jax.Array, params: LunarLanderParams):
-        terrain_key, kick_key = jax.random.split(key)
-        # seeded terrain: uniform chunk heights smoothed by a 3-tap average,
-        # helipad flattened across the center 5 chunk points (published spec)
+        terrain_key, kick_key, wind_key, step_key = jax.random.split(key, 4)
+        # CHUNKS+1 raw heights; helipad substituted BEFORE smoothing; the
+        # 3-tap window wraps at the left edge exactly like gym's height[i-1]
+        # at i=0 (Python negative indexing reads height[CHUNKS]).
         raw = jax.random.uniform(
-            terrain_key, (CHUNKS,), minval=0.0, maxval=HELIPAD_Y * 2.0
+            terrain_key, (CHUNKS + 1,), minval=0.0, maxval=H / 2.0
         )
         if not params.random_terrain:
-            raw = jnp.full((CHUNKS,), HELIPAD_Y)
-        smooth = (
-            0.33 * (jnp.roll(raw, 1) + raw + jnp.roll(raw, -1))
-        )
+            raw = jnp.full((CHUNKS + 1,), HELIPAD_Y)
         center = CHUNKS // 2
-        idx = jnp.arange(CHUNKS)
-        helipad_mask = jnp.abs(idx - center) <= 2
-        terrain = jnp.where(helipad_mask, HELIPAD_Y, smooth)
+        idx = jnp.arange(CHUNKS + 1)
+        raw = jnp.where(jnp.abs(idx - center) <= 2, HELIPAD_Y, raw)
+        prev = raw[jnp.arange(-1, CHUNKS - 1)]  # height[i-1], wrapping to [-1]
+        nxt = raw[jnp.arange(1, CHUNKS + 1)]  # height[i+1]
+        terrain = 0.33 * (prev + raw[:CHUNKS] + nxt)
 
-        # start at top center with a random kick (spec: uniform force up to
-        # INITIAL_RANDOM applied to the fresh body; expressed as velocity)
-        kick = jax.random.uniform(kick_key, (2,), minval=-INITIAL_RANDOM, maxval=INITIAL_RANDOM)
+        kick = jax.random.uniform(
+            kick_key, (2,), minval=-INITIAL_RANDOM, maxval=INITIAL_RANDOM
+        )
+        widx = jax.random.randint(wind_key, (2,), -9999, 9999)
+
         state = LunarLanderState(
             x=jnp.float32(W / 2.0),
             y=jnp.float32(H),
-            vx=kick[0] / FPS / LANDER_MASS,
-            vy=kick[1] / FPS / LANDER_MASS,
+            vx=jnp.float32(0.0),
+            vy=jnp.float32(0.0),
             angle=jnp.float32(0.0),
             omega=jnp.float32(0.0),
             leg1=jnp.array(False),
@@ -151,9 +197,17 @@ class LunarLander(Environment[LunarLanderState, LunarLanderParams]):
             terrain=terrain,
             prev_shaping=jnp.float32(0.0),
             t=jnp.int32(0),
+            sleep=jnp.int32(0),
+            wind_idx=widx[0],
+            torque_idx=widx[1],
         )
-        shaping = self._shaping(state)
-        state = state.replace(prev_shaping=shaping)
+        # gym's reset ends with `return self.step(0)[0]`: the first obs has
+        # one physics frame applied, with the INITIAL_RANDOM force acting on
+        # that frame only (ApplyForceToCenter before the first world.Step).
+        state, _, _ = self._physics_step(
+            step_key, state, jnp.int32(0), params, kick_force=kick
+        )
+        state = state.replace(prev_shaping=self._shaping(state, params), t=jnp.int32(0))
         return self.get_obs(state, params), state
 
     # ------------------------------------------------------------------- obs
@@ -171,157 +225,258 @@ class LunarLander(Environment[LunarLanderState, LunarLanderParams]):
             ]
         ).astype(jnp.float32)
 
-    def _shaping(self, state: LunarLanderState) -> jax.Array:
-        """The published potential: distance + speed + tilt + leg bonuses,
-        computed on the normalized observation coordinates."""
-        ox = (state.x - W / 2.0) / (W / 2.0)
-        oy = (state.y - (HELIPAD_Y + LEG_DOWN)) / (H / 2.0)
-        ovx = state.vx * (W / 2.0) / FPS
-        ovy = state.vy * (H / 2.0) / FPS
+    def _shaping(self, state: LunarLanderState, params: LunarLanderParams) -> jax.Array:
+        """The published potential, computed on the normalized observation."""
+        o = self.get_obs(state, params)
         return (
-            -100.0 * jnp.sqrt(ox**2 + oy**2)
-            - 100.0 * jnp.sqrt(ovx**2 + ovy**2)
-            - 100.0 * jnp.abs(state.angle)
-            + 10.0 * state.leg1.astype(jnp.float32)
-            + 10.0 * state.leg2.astype(jnp.float32)
+            -100.0 * jnp.sqrt(o[0] ** 2 + o[1] ** 2)
+            - 100.0 * jnp.sqrt(o[2] ** 2 + o[3] ** 2)
+            - 100.0 * jnp.abs(o[4])
+            + 10.0 * o[6]
+            + 10.0 * o[7]
         )
 
-    # ------------------------------------------------------------------ step
-    def step_env(self, key, state: LunarLanderState, action, params: LunarLanderParams):
+    # ---------------------------------------------------------------- physics
+    def _physics_step(self, key, state, action, params, kick_force=None):
+        """One Box2D-ordered frame: impulses -> gravity -> contact velocity
+        solve (at the start-of-step pose, = Box2D's collide phase) ->
+        integrate -> position correction.  Returns (state', game_over, rest)
+        with leg flags/sleep updated; reward/termination live in step_env."""
         dt = 1.0 / FPS
-        disp_key, wind_key = jax.random.split(key)
-
-        m_power = jnp.where(action == 2, 1.0, 0.0)
-        s_power = jnp.where((action == 1) | (action == 3), 1.0, 0.0)
-        side_dir = jnp.where(action == 3, 1.0, jnp.where(action == 1, -1.0, 0.0))
-
         sin_a = jnp.sin(state.angle)
         cos_a = jnp.cos(state.angle)
+        # gym: tip = (sin, cos) is the body-up direction in world coords;
+        # side = (-cos, sin) points along the body's lateral axis.
+        tip0, tip1 = sin_a, cos_a
+        side0, side1 = -cos_a, sin_a
 
-        # engine dispersion noise (spec: uniform(-1,1)/SCALE per axis)
-        disp = jax.random.uniform(disp_key, (2,), minval=-1.0, maxval=1.0) / SCALE
+        comx = state.x - COM_OFFSET * sin_a
+        comy = state.y + COM_OFFSET * cos_a
+        vx, vy, omega = state.vx, state.vy, state.omega
 
-        # Main engine: the per-frame impulse the *lander* receives is the
-        # engine power scaled by the nozzle-offset geometry (~4/SCALE plus
-        # dispersion) — the exhaust particle carries the rest.  Net
-        # thrust/weight ~1.8 at full power, matching the game's feel.
-        j_main = MAIN_ENGINE_POWER * m_power * (4.0 / SCALE + 2.0 * disp[0])
-        dvx = -sin_a * j_main / LANDER_MASS
-        dvy = cos_a * j_main / LANDER_MASS
-        # lateral dispersion of the application point -> random torque
-        dw_main = -j_main * disp[1] / LANDER_INERTIA
-
-        # Side engines: lander impulse scaled by SIDE_ENGINE_AWAY/SCALE (+
-        # dispersion), applied at SIDE_ENGINE_HEIGHT above the COM -> both a
-        # lateral kick and a restoring torque (the craft's attitude control)
-        j_side = SIDE_ENGINE_POWER * s_power * (
-            SIDE_ENGINE_AWAY / SCALE + 3.0 * disp[1]
+        # dispersion is drawn every frame (gym draws before the engine gate)
+        disp = (
+            jax.random.uniform(key, (2,), minval=-1.0, maxval=1.0)
+            / SCALE
+            * params.dispersion_scale
         )
-        dvx = dvx + side_dir * cos_a * j_side / LANDER_MASS
-        dvy = dvy + side_dir * sin_a * j_side / LANDER_MASS
-        dw_side = -side_dir * j_side * SIDE_ENGINE_HEIGHT / LANDER_INERTIA
 
-        vx = state.vx + dvx
-        vy = state.vy + dvy + params.gravity * dt
-        omega = state.omega + dw_main + dw_side
-
+        # wind/turbulence (v3: deterministic pattern, gated on leg contact)
+        wind_idx, torque_idx = state.wind_idx, state.torque_idx
         if params.enable_wind:
-            wk1, wk2 = jax.random.split(wind_key)
-            wind = params.wind_power * jax.random.uniform(wk1, minval=-1.0, maxval=1.0)
-            torq = params.turbulence_power * jax.random.uniform(wk2, minval=-1.0, maxval=1.0)
-            vx = vx + wind / LANDER_MASS * dt
-            omega = omega + torq / LANDER_INERTIA * dt
+            airborne = jnp.logical_not(state.leg1 | state.leg2)
+            wind = _wind_pattern(wind_idx) * params.wind_power
+            torq = _wind_pattern(torque_idx) * params.turbulence_power
+            vx = vx + jnp.where(airborne, wind / TOTAL_MASS * dt, 0.0)
+            omega = omega + jnp.where(airborne, torq / INERTIA * dt, 0.0)
+            wind_idx = wind_idx + airborne.astype(jnp.int32)
+            torque_idx = torque_idx + airborne.astype(jnp.int32)
 
-        x = state.x + vx * dt
-        y = state.y + vy * dt
-        angle = state.angle + omega * dt
+        # --- main engine (gym's exact impulse geometry) --------------------
+        m_power = jnp.where(action == 2, 1.0, 0.0)
+        k_main = MAIN_ENGINE_Y_LOCATION / SCALE + 2.0 * disp[0]
+        ox_m = tip0 * k_main + side0 * disp[1]
+        oy_m = -tip1 * k_main - side1 * disp[1]
+        jmx = -ox_m * MAIN_ENGINE_POWER * m_power
+        jmy = -oy_m * MAIN_ENGINE_POWER * m_power
+        rmx = (state.x + ox_m) - comx  # impulse applied at position + (ox,oy)
+        rmy = (state.y + oy_m) - comy
+        vx = vx + jmx / TOTAL_MASS
+        vy = vy + jmy / TOTAL_MASS
+        omega = omega + (rmx * jmy - rmy * jmx) / INERTIA
 
-        # ---------------- contacts: two leg tips + hull bottom -------------
-        # leg tip body offsets (±LEG_AWAY lateral, LEG_DOWN+LEG_H below COM)
-        tip_dy = -(LEG_DOWN + LEG_H)
+        # --- side engines ---------------------------------------------------
+        s_power = jnp.where((action == 1) | (action == 3), 1.0, 0.0)
+        direction = jnp.where(action == 3, 1.0, jnp.where(action == 1, -1.0, 0.0))
+        k_side = 3.0 * disp[1] + direction * SIDE_ENGINE_AWAY
+        ox_s = tip0 * disp[0] + side0 * k_side
+        oy_s = -tip1 * disp[0] - side1 * k_side
+        jsx = -ox_s * SIDE_ENGINE_POWER * s_power
+        jsy = -oy_s * SIDE_ENGINE_POWER * s_power
+        # the published 17-vs-14 impulse-position quirk, reproduced verbatim
+        rsx = (state.x + ox_s - tip0 * 17.0 / SCALE) - comx
+        rsy = (state.y + oy_s + tip1 * SIDE_ENGINE_HEIGHT) - comy
+        vx = vx + jsx / TOTAL_MASS
+        vy = vy + jsy / TOTAL_MASS
+        omega = omega + (rsx * jsy - rsy * jsx) / INERTIA
 
-        def world_point(bx, by):
+        # --- reset kick (one frame) + gravity -------------------------------
+        if kick_force is not None:
+            vx = vx + kick_force[0] * dt / TOTAL_MASS
+            vy = vy + kick_force[1] * dt / TOTAL_MASS
+        vy = vy + params.gravity * dt
+
+        # --- contacts at the start-of-step pose (Box2D collide phase) ------
+        def leg_tip(sign):
+            bx, by = sign * LEG_TIP_X, LEG_TIP_Y
             return (
-                x + bx * cos_a - by * sin_a,
-                y + bx * sin_a + by * cos_a,
+                state.x + bx * cos_a - by * sin_a,
+                state.y + bx * sin_a + by * cos_a,
             )
 
-        l1x, l1y = world_point(-LEG_AWAY, tip_dy)
-        l2x, l2y = world_point(LEG_AWAY, tip_dy)
-        g1 = _terrain_height(state.terrain, l1x)
-        g2 = _terrain_height(state.terrain, l2x)
-        leg1 = l1y <= g1
-        leg2 = l2y <= g2
-        any_contact = jnp.logical_or(leg1, leg2)
+        p1x, p1y = leg_tip(-1.0)
+        p2x, p2y = leg_tip(1.0)
+        g1 = _terrain_height(state.terrain, p1x)
+        g2 = _terrain_height(state.terrain, p2x)
+        c1 = p1y <= g1 + CONTACT_SKIN + SLOP
+        c2 = p2y <= g2 + CONTACT_SKIN + SLOP
 
-        both_contact = jnp.logical_and(leg1, leg2)
-        single_contact = jnp.logical_and(any_contact, jnp.logical_not(both_contact))
+        # leg-joint give-way (the real Box2D crash mechanism) is an IMPULSE
+        # overload through the revolute joint, not a velocity: a pivoting
+        # slap carries far less momentum than a vertical slam at the same
+        # tip speed.  Checked after the solve below against J_CRASH.
 
-        # impact-speed crash: the leg suspension absorbs a firm set-down (the
-        # heuristic lands at 2-4 m/s) but a free-fall slam (random policy:
-        # ~10-13 m/s) drives the hull into the ground -> game over
-        impact_speed = jnp.sqrt(vx**2 + vy**2)
-        hard_impact = jnp.logical_and(any_contact, impact_speed > 6.0)
+        # --- fixed-iteration impulse solve --------------------------------
+        # Normal pair via Box2D's 2-point BLOCK solver (b2ContactSolver):
+        # sequential per-point Gauss-Seidel is asymmetric and sustains a
+        # rocking limit cycle at rest; the block solve (a 2x2 LCP enumerated
+        # over its 4 complementarity cases) is what Box2D actually runs for
+        # a 2-point manifold.  Friction stays sequential, clamped by the
+        # accumulated normal impulses.
+        r1x, r1y = p1x - comx, p1y - comy
+        r2x, r2y = p2x - comx, p2y - comy
+        a11 = 1.0 / TOTAL_MASS + r1x * r1x / INERTIA
+        a22 = 1.0 / TOTAL_MASS + r2x * r2x / INERTIA
+        a12 = 1.0 / TOTAL_MASS + r1x * r2x / INERTIA
+        det = a11 * a22 - a12 * a12
+        mt1 = 1.0 / (1.0 / TOTAL_MASS + r1y * r1y / INERTIA)
+        mt2 = 1.0 / (1.0 / TOTAL_MASS + r2y * r2y / INERTIA)
+        jn1 = jn2 = jt1 = jt2 = jnp.float32(0.0)
+        f1 = c1.astype(jnp.float32)
+        f2 = c2.astype(jnp.float32)
+        for _ in range(SOLVER_ITERS):
+            # normal block solve on ACCUMULATED impulses (restitution 0)
+            un1 = vy + omega * r1x
+            un2 = vy + omega * r2x
+            # normal speeds if the accumulated impulses were removed
+            b1 = un1 - (a11 * jn1 + a12 * jn2)
+            b2 = un2 - (a12 * jn1 + a22 * jn2)
+            # case 1: both contacts active (x = -A^-1 b)
+            x1_b = (-a22 * b1 + a12 * b2) / det
+            x2_b = (a12 * b1 - a11 * b2) / det
+            ok_b = c1 & c2 & (x1_b >= 0.0) & (x2_b >= 0.0)
+            # case 2: only contact 1 pushes
+            x1_1 = jnp.maximum(-b1 / a11, 0.0) * f1
+            ok_1 = c1 & (a12 * x1_1 + b2 >= 0.0) | jnp.logical_not(c2)
+            # case 3: only contact 2 pushes
+            x2_2 = jnp.maximum(-b2 / a22, 0.0) * f2
+            x1 = jnp.where(ok_b, x1_b, jnp.where(ok_1, x1_1, 0.0)) * f1
+            x2 = jnp.where(ok_b, x2_b, jnp.where(ok_1, 0.0, x2_2)) * f2
+            d1, d2 = x1 - jn1, x2 - jn2
+            vy = vy + (d1 + d2) / TOTAL_MASS
+            omega = omega + (d1 * r1x + d2 * r2x) / INERTIA
+            jn1, jn2 = x1, x2
+            # contact 1: friction, clamped by the accumulated normal impulse
+            ut = vx - omega * r1y
+            jt_new = jnp.clip(jt1 - ut * mt1, -MU * jn1, MU * jn1)
+            djt = (jt_new - jt1) * f1
+            vx = vx + djt / TOTAL_MASS
+            omega = omega - djt * r1y / INERTIA
+            jt1 = jt1 + djt
+            # contact 2: friction
+            ut = vx - omega * r2y
+            jt_new = jnp.clip(jt2 - ut * mt2, -MU * jn2, MU * jn2)
+            djt = (jt_new - jt2) * f2
+            vx = vx + djt / TOTAL_MASS
+            omega = omega - djt * r2y / INERTIA
+            jt2 = jt2 + djt
 
-        # inelastic normal impulse: cancel downward velocity; position snap
-        pen = jnp.maximum(jnp.where(leg1, g1 - l1y, 0.0), jnp.where(leg2, g2 - l2y, 0.0))
-        y = jnp.where(any_contact, y + pen, y)
-        vy = jnp.where(any_contact, jnp.maximum(vy, 0.0) * 0.1, vy)
-        # ground friction: strong on two legs, mild while pivoting on one
-        vx = jnp.where(both_contact, vx * 0.5, jnp.where(single_contact, vx * 0.8, vx))
-        # rotation: two legs -> heavily damped (settling); one leg -> pivot
-        # about the contact under gravity torque so the craft either drops
-        # its other leg or topples onto the hull (as the rigid solver would)
-        omega = jnp.where(both_contact, omega * 0.3, omega)
-        lever = jnp.where(leg1 & ~leg2, -LEG_AWAY, jnp.where(leg2 & ~leg1, LEG_AWAY, 0.0))
-        omega = omega + lever * (-params.gravity) * cos_a * dt / LANDER_INERTIA
-        # pivoting lowers the COM: rotation about the tip converts to descent
-        y = jnp.where(single_contact, y - jnp.abs(omega) * LEG_AWAY * dt, y)
+        # joint overload: per-frame normal impulse through either leg above
+        # what the joint assembly absorbs (calibrated on Box2D's survive/crash
+        # boundary, module docstring) slams the hull down => game over
+        hard = (jn1 > J_CRASH) | (jn2 > J_CRASH)
 
-        # hull bottom touching ground, or drifting out of bounds => crash
-        hx, hy = world_point(0.0, -HULL_CLEARANCE)
-        gh = _terrain_height(state.terrain, hx)
-        hull_hit = hy <= gh
-        tipped = jnp.abs(angle) > 1.2  # beyond recovery: treat as crash contact
-        out_of_bounds = jnp.abs((x - W / 2.0) / (W / 2.0)) >= 1.0
-        game_over = hull_hit | out_of_bounds | (tipped & any_contact) | hard_impact
+        # --- integrate (semi-implicit Euler, Box2D order) -------------------
+        comx = comx + vx * dt
+        comy = comy + vy * dt
+        angle = state.angle + omega * dt
+        sin_n, cos_n = jnp.sin(angle), jnp.cos(angle)
+        # body origin = com - R(angle) @ (0, COM_OFFSET)
+        x = comx + COM_OFFSET * sin_n
+        y = comy - COM_OFFSET * cos_n
 
-        # at rest on both legs => successful landing (Box2D "not awake")
-        speed = jnp.sqrt(vx**2 + vy**2)
-        rest = (
-            leg1
-            & leg2
-            & (speed < 0.08)
-            & (jnp.abs(omega) < 0.08)
+        # --- position correction: lift contacting tips back to the surface --
+        def tip_at(sign, xx, yy):
+            bx, by = sign * LEG_TIP_X, LEG_TIP_Y
+            return (
+                xx + bx * cos_n - by * sin_n,
+                yy + bx * sin_n + by * cos_n,
+            )
+
+        q1x, q1y = tip_at(-1.0, x, y)
+        q2x, q2y = tip_at(1.0, x, y)
+        h1 = _terrain_height(state.terrain, q1x)
+        h2 = _terrain_height(state.terrain, q2x)
+        pen1 = jnp.where(c1, (h1 + CONTACT_SKIN) - q1y, 0.0)
+        pen2 = jnp.where(c2, (h2 + CONTACT_SKIN) - q2y, 0.0)
+        lift = jnp.maximum(jnp.maximum(pen1, pen2), 0.0)
+        y = y + lift
+        comy = comy + lift
+
+        # hull bottom corners touching ground => Box2D BeginContact game_over
+        def corner(bx, by):
+            return (
+                x + bx * cos_n - by * sin_n,
+                y + bx * sin_n + by * cos_n,
+            )
+
+        hx1, hy1 = corner(HULL_BOTTOM[0], HULL_BOTTOM[2])
+        hx2, hy2 = corner(HULL_BOTTOM[1], HULL_BOTTOM[2])
+        hull_hit = (hy1 <= _terrain_height(state.terrain, hx1) + 0.01) | (
+            hy2 <= _terrain_height(state.terrain, hx2) + 0.01
         )
+        game_over = hull_hit | hard
 
-        new_state = LunarLanderState(
+        # --- Box2D sleep => the +100 "rest" trigger -------------------------
+        still = (
+            c1
+            & c2
+            & (jnp.abs(vx) < LIN_SLEEP_TOL)
+            & (jnp.abs(vy) < LIN_SLEEP_TOL)
+            & (jnp.abs(omega) < ANG_SLEEP_TOL)
+        )
+        sleep = jnp.where(still, state.sleep + 1, 0).astype(jnp.int32)
+        rest = sleep >= SLEEP_FRAMES
+
+        new_state = state.replace(
             x=x,
             y=y,
             vx=vx,
             vy=vy,
             angle=angle,
             omega=omega,
-            leg1=leg1,
-            leg2=leg2,
-            terrain=state.terrain,
-            prev_shaping=state.prev_shaping,
+            leg1=c1,
+            leg2=c2,
+            sleep=sleep,
+            wind_idx=wind_idx,
+            torque_idx=torque_idx,
             t=state.t + 1,
         )
+        return new_state, game_over, rest
 
-        # ---------------- reward ------------------------------------------
-        shaping = self._shaping(new_state)
+    # ------------------------------------------------------------------ step
+    def step_env(self, key, state: LunarLanderState, action, params: LunarLanderParams):
+        new_state, game_over, rest = self._physics_step(key, state, action, params)
+
+        m_power = jnp.where(action == 2, 1.0, 0.0)
+        s_power = jnp.where((action == 1) | (action == 3), 1.0, 0.0)
+
+        obs = self.get_obs(new_state, params)
+        out_of_bounds = jnp.abs(obs[0]) >= 1.0
+
+        shaping = self._shaping(new_state, params)
         reward = shaping - state.prev_shaping
         new_state = new_state.replace(prev_shaping=shaping)
         reward = reward - m_power * 0.30 - s_power * 0.03
-        reward = jnp.where(game_over, -100.0, jnp.where(rest, 100.0, reward))
+        crash = game_over | out_of_bounds
+        reward = jnp.where(crash, -100.0, jnp.where(rest, 100.0, reward))
 
-        terminated = jnp.logical_or(game_over, rest)
+        terminated = crash | rest
         truncated = jnp.logical_and(
             new_state.t >= params.max_steps_in_episode, jnp.logical_not(terminated)
         )
         return (
-            self.get_obs(new_state, params),
+            obs,
             new_state,
             reward.astype(jnp.float32),
             terminated,
