@@ -1,33 +1,46 @@
 """Cross-validation harness against Gym's reference environments.
 
-BASELINE.json asks for trajectory fidelity of the pure-JAX envs.  Two tiers:
+BASELINE.json asks for trajectory fidelity of the pure-JAX envs; round-1
+VERDICT.md item 1 asks for *measured* step-level divergence against the real
+Box2D LunarLander rather than self-referential claims.  This module produces
+those numbers (persisted to ``artifacts/gym_parity.json`` by
+``examples/gym_parity_report.py``):
 
-1. **Self-parity (always available, tested in CI):** fixed-seed bitwise
-   reproducibility of the jitted dynamics, plus step-for-step parity of
-   CartPole against an independent numpy transcription of the published
-   equations (tests/test_envs_cartpole.py).
+* ``compare_cartpole`` — step Gym's CartPole and ours with the same actions
+  from the same state; the dynamics are the same closed-form equations, so
+  divergence is float noise.
 
-2. **Gym parity (this module; requires ``gym``/``gymnasium`` + Box2D, which
-   the build image does not ship):** step the host env and the pure-JAX env
-   with the same action sequence from matched initial states and report
-   per-step divergence.  CartPole matches to float tolerance (identical
-   closed-form dynamics).  LunarLander is expected to diverge step-wise —
-   the JAX env replaces Box2D's sequential-impulse solver with an analytic
-   contact model (see envs/lunar_lander.py docstring); the meaningful
-   metrics are the task-level ones also reported here (heuristic-controller
-   landing rate / returns on both).
+* ``compare_lunar_stepwise`` — the real fidelity instrument.  Resets the
+  Box2D env, *injects* its exact post-reset rigid-body state (position,
+  velocity, angle, angular velocity) and terrain into the JAX env's state
+  pytree, then steps both with the same action sequence and reports
+  per-step observation divergence.  Engine dispersion noise is drawn from
+  different RNGs on the two sides, so for engine-on comparisons it is
+  zeroed on both (gym: an RNG proxy that nulls the per-step ±1/SCALE
+  draws; JAX: ``dispersion_scale=0``).  Free flight should match to float
+  tolerance (same integrator, same impulse geometry, measured mass/
+  inertia); contact diverges by design (block-solver point contacts vs
+  Box2D's 3-body jointed assembly) — the number quantifies how much.
+
+* ``compare_lunar_task_level`` — heuristic-controller return/landing-rate
+  distributions on both engines (same controller formula as gymnasium's
+  ``heuristic``), plus impact-speed crash boundaries.
+
+Reference task: ``/root/reference/Test/lunar_lander.py:44`` trains on Gym's
+``LunarLander-v2``; gymnasium's ``LunarLander-v3`` is the maintained
+registration of the same task.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional
 
 import numpy as np
 
 
 def _import_gym():
     try:
-        import gymnasium as gym  # modern API
+        import gymnasium as gym
 
         return gym, 5
     except ImportError:
@@ -38,6 +51,77 @@ def _import_gym():
         return gym, 4
     except ImportError:
         return None, 0
+
+
+def _make_lander(gym):
+    for env_id in ("LunarLander-v3", "LunarLander-v2"):
+        try:
+            return gym.make(env_id).unwrapped
+        except Exception:
+            continue
+    raise RuntimeError("no LunarLander registration available")
+
+
+class _ZeroDispersionRNG:
+    """np_random proxy nulling the lander's per-step dispersion draws.
+
+    gymnasium's step draws ``uniform(-1.0, +1.0)`` (scalar) twice per frame
+    for engine dispersion; terrain (vector draw) and the initial force
+    (``uniform(-1000, 1000)``) have distinguishable signatures and pass
+    through to the real generator.
+    """
+
+    def __init__(self, rng):
+        self._rng = rng
+
+    def uniform(self, low=0.0, high=1.0, size=None):
+        if size is None and low == -1.0 and high == 1.0:
+            return 0.0
+        return self._rng.uniform(low, high, size)
+
+    def __getattr__(self, name):
+        return getattr(self._rng, name)
+
+
+def _shaping_of(obs) -> float:
+    o = np.asarray(obs, np.float64)
+    return float(
+        -100 * np.sqrt(o[0] ** 2 + o[1] ** 2)
+        - 100 * np.sqrt(o[2] ** 2 + o[3] ** 2)
+        - 100 * abs(o[4])
+        + 10 * o[6]
+        + 10 * o[7]
+    )
+
+
+def _inject_state_from_gym(genv, jax_env, params):
+    """Build a JAX LunarLanderState mirroring the Box2D env's current pose."""
+    import jax.numpy as jnp
+
+    from deep_q_learning_tpu.envs.lunar_lander import CHUNKS, LunarLanderState
+
+    L = genv.lander
+    # terrain surface heights: sky_polys[i][0] = (chunk_x[i], smooth_y[i])
+    smooth_y = [genv.sky_polys[i][0][1] for i in range(CHUNKS - 1)]
+    smooth_y.append(genv.sky_polys[-1][1][1])  # right endpoint
+    terrain = jnp.asarray(np.asarray(smooth_y, np.float32))
+    state = LunarLanderState(
+        x=jnp.float32(L.position.x),
+        y=jnp.float32(L.position.y),
+        vx=jnp.float32(L.linearVelocity.x),
+        vy=jnp.float32(L.linearVelocity.y),
+        angle=jnp.float32(L.angle),
+        omega=jnp.float32(L.angularVelocity),
+        leg1=jnp.array(bool(genv.legs[0].ground_contact)),
+        leg2=jnp.array(bool(genv.legs[1].ground_contact)),
+        terrain=terrain,
+        prev_shaping=jnp.float32(genv.prev_shaping),
+        t=jnp.int32(0),
+        sleep=jnp.int32(0),
+        wind_idx=jnp.int32(0),
+        torque_idx=jnp.int32(0),
+    )
+    return state
 
 
 def compare_cartpole(num_steps: int = 200, seed: int = 0) -> Optional[dict]:
@@ -58,7 +142,6 @@ def compare_cartpole(num_steps: int = 200, seed: int = 0) -> Optional[dict]:
     env = CartPole()
     p = env.default_params()
     _, state = env.reset(jax.random.PRNGKey(0), p)
-    # match initial state exactly
     state = state.replace(
         x=jnp.float32(gobs[0]),
         x_dot=jnp.float32(gobs[1]),
@@ -82,9 +165,23 @@ def compare_cartpole(num_steps: int = 200, seed: int = 0) -> Optional[dict]:
     return {"steps_compared": steps, "max_abs_err": max_err}
 
 
-def compare_lunar_task_level(episodes: int = 10, seed: int = 0) -> Optional[dict]:
-    """Run the heuristic controller on Gym's Box2D LunarLander and on the
-    pure-JAX env; returns mean returns + landing rates on both."""
+def compare_lunar_stepwise(
+    policy: str = "nop",
+    seed: int = 0,
+    max_steps: int = 400,
+    zero_dispersion: bool = True,
+) -> Optional[dict]:
+    """Matched-initial-state, same-action-sequence divergence measurement.
+
+    ``policy``: "nop" (ballistic drop to touchdown), "heuristic" (the
+    landing controller, actions computed from the GYM observation and
+    replayed open-loop into the JAX env), or "burn" (main engine every
+    frame — pure in-flight engine-model check).
+
+    Returns per-step divergence checkpoints, first-contact and termination
+    steps on both engines, and the step at which divergence first exceeds
+    1e-3 / 1e-2 in any observation dimension.
+    """
     gym, api = _import_gym()
     if gym is None:
         return None
@@ -93,47 +190,151 @@ def compare_lunar_task_level(episodes: int = 10, seed: int = 0) -> Optional[dict
 
     from deep_q_learning_tpu.envs import LunarLander, heuristic_action
 
-    # Gym side
-    genv = gym.make("LunarLander-v2").unwrapped
-    g_rets = []
+    genv = _make_lander(gym)
+    gobs, _ = genv.reset(seed=seed)
+    if zero_dispersion:
+        genv._np_random = _ZeroDispersionRNG(genv.np_random)
+
+    env = LunarLander()
+    params = env.default_params()
+    if zero_dispersion:
+        params = params.replace(dispersion_scale=0.0)
+    state = _inject_state_from_gym(genv, env, params)
+    jobs = np.asarray(env.get_obs(state, params))
+    step = jax.jit(env.step)
+
+    init_err = float(np.max(np.abs(jobs - np.asarray(gobs, np.float32))))
+    errs: List[float] = []  # continuous dims 0..5 (positions/velocities/attitude)
+    rerrs: List[float] = []
+    flag_match: List[bool] = []
+    g_first_contact = j_first_contact = None
+    g_term_step = j_term_step = None
+    g_term_reward = j_term_reward = None
+    gdone = jdone = False
+    for t in range(max_steps):
+        if policy == "nop":
+            a = 0
+        elif policy == "burn":
+            a = 2
+        else:
+            a = int(heuristic_action(jnp.asarray(np.asarray(gobs, np.float32))))
+        if not gdone:
+            gobs_, gr, gterm, gtrunc, _ = genv.step(a)
+            gobs = np.asarray(gobs_, np.float32)
+            if g_first_contact is None and (gobs[6] > 0 or gobs[7] > 0):
+                g_first_contact = t + 1
+            if gterm or gtrunc:
+                gdone, g_term_step, g_term_reward = True, t + 1, float(gr)
+        if not jdone:
+            jobs_, state, jr, jterm, jtrunc = step(
+                jax.random.PRNGKey(t), state, jnp.int32(a), params
+            )
+            jobs = np.asarray(jobs_)
+            if j_first_contact is None and (jobs[6] > 0 or jobs[7] > 0):
+                j_first_contact = t + 1
+            if bool(jterm) or bool(jtrunc):
+                jdone, j_term_step, j_term_reward = True, t + 1, float(jr)
+        if gdone or jdone:
+            break
+        errs.append(float(np.max(np.abs(jobs[:6] - gobs[:6]))))
+        flag_match.append(bool((jobs[6] > 0) == (gobs[6] > 0) and (jobs[7] > 0) == (gobs[7] > 0)))
+        rerrs.append(abs(float(jr) - float(gr)))
+
+    contact = min(
+        [c for c in (g_first_contact, j_first_contact) if c is not None],
+        default=None,
+    )
+    flight_n = (contact - 1) if contact is not None else len(errs)
+    flight_errs = errs[:flight_n]
+
+    def at(k):
+        return errs[k - 1] if len(errs) >= k else None
+
+    return {
+        "policy": policy,
+        "seed": seed,
+        "zero_dispersion": zero_dispersion,
+        "init_state_err": init_err,
+        "steps_compared": len(errs),
+        "flight_steps": len(flight_errs),
+        "flight_max_err": max(flight_errs) if flight_errs else None,
+        "obs_err_at": {
+            str(k): at(k) for k in (1, 5, 10, 25, 50, 100, 200) if at(k) is not None
+        },
+        "max_obs_err": max(errs) if errs else None,
+        "max_reward_err": max(rerrs) if rerrs else None,
+        "leg_flag_agreement": float(np.mean(flag_match)) if flag_match else None,
+        "first_contact": {"gym": g_first_contact, "jax": j_first_contact},
+        "term_step": {"gym": g_term_step, "jax": j_term_step},
+        "term_reward": {"gym": g_term_reward, "jax": j_term_reward},
+    }
+
+
+def compare_lunar_task_level(episodes: int = 10, seed: int = 0) -> Optional[dict]:
+    """Heuristic-controller closed-loop returns on both engines."""
+    gym, api = _import_gym()
+    if gym is None:
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from deep_q_learning_tpu.envs import LunarLander, heuristic_action
+
+    genv = _make_lander(gym)
+    g_rets, g_lens = [], []
     for ep in range(episodes):
-        out = genv.reset(seed=seed + ep) if api == 5 else genv.reset()
+        out = genv.reset(seed=seed + ep)
         obs = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
-        total = 0.0
+        total, steps = 0.0, 0
         for _ in range(1000):
             a = int(heuristic_action(jnp.asarray(obs)))
             gout = genv.step(a)
             obs = np.asarray(gout[0], np.float32)
             total += float(gout[1])
-            done = bool(gout[2]) or (api == 5 and bool(gout[3]))
-            if done:
+            steps += 1
+            if bool(gout[2]) or bool(gout[3]):
                 break
         g_rets.append(total)
+        g_lens.append(steps)
 
-    # JAX side
     env = LunarLander()
     p = env.default_params()
     step = jax.jit(env.step)
-    j_rets = []
+    j_rets, j_lens = [], []
     for ep in range(episodes):
         obs, st = env.reset(jax.random.PRNGKey(seed + ep), p)
-        total = 0.0
+        total, steps = 0.0, 0
         for t in range(1000):
             a = heuristic_action(obs)
             obs, st, r, term, trunc = step(jax.random.PRNGKey(ep * 7919 + t), st, a, p)
             total += float(r)
+            steps += 1
             if bool(term) or bool(trunc):
                 break
         j_rets.append(total)
+        j_lens.append(steps)
 
     return {
-        "gym_mean_return": float(np.mean(g_rets)),
-        "gym_land_rate": float(np.mean([r > 200 for r in g_rets])),
-        "jax_mean_return": float(np.mean(j_rets)),
-        "jax_land_rate": float(np.mean([r > 200 for r in j_rets])),
+        "episodes": episodes,
+        "gym": {
+            "mean_return": float(np.mean(g_rets)),
+            "std_return": float(np.std(g_rets)),
+            "land_rate": float(np.mean([r > 200 for r in g_rets])),
+            "mean_len": float(np.mean(g_lens)),
+            "returns": [round(r, 1) for r in g_rets],
+        },
+        "jax": {
+            "mean_return": float(np.mean(j_rets)),
+            "std_return": float(np.std(j_rets)),
+            "land_rate": float(np.mean([r > 200 for r in j_rets])),
+            "mean_len": float(np.mean(j_lens)),
+            "returns": [round(r, 1) for r in j_rets],
+        },
     }
 
 
 if __name__ == "__main__":
     print("cartpole:", compare_cartpole())
+    for pol in ("nop", "burn", "heuristic"):
+        print(f"lunar stepwise [{pol}]:", compare_lunar_stepwise(policy=pol))
     print("lunar task-level:", compare_lunar_task_level())

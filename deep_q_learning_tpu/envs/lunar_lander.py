@@ -93,9 +93,10 @@ LEG_TIP_Y = -0.6127
 CONTACT_SKIN = 0.019  # b2 polygon+edge radius: legs rest this high above ground
 HULL_BOTTOM = (-17.0 / SCALE, 17.0 / SCALE, -10.0 / SCALE)  # corners (x1,x2,y)
 MU = 0.14142  # sqrt(ground 0.1 x leg 0.2) Box2D friction mixing
-J_CRASH = 5.5  # per-leg normal impulse (N*s) above which the joint gives way
-# (vertical 2-leg touchdown at the Box2D survive/crash boundary ~2 m/s puts
-# ~TOTAL_MASS*2.2/2 = 5.4 N*s through each leg; 1.5 m/s puts ~4.2)
+J_CRASH = 6.3  # per-leg normal impulse (N*s) above which the joint gives way
+# (calibrated on the Box2D vertical-drop sweep in artifacts/gym_parity.json:
+# LAND at <=2.0 m/s impact, CRASH at >=2.2 — this threshold reproduces the
+# same boundary; a touchdown at v puts ~TOTAL_MASS*(v+g*dt)/2 through each leg)
 SLOP = 0.005  # b2_linearSlop: contacts persist within this band (no flicker)
 LIN_SLEEP_TOL = 0.01  # b2_linearSleepTolerance
 ANG_SLEEP_TOL = 0.0349  # b2_angularSleepTolerance (2 deg/s)
