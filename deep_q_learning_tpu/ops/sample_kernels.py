@@ -60,11 +60,11 @@ def _slot_kernel(
     capacity: int,
 ):
     p = priorities_ref[:]  # (N, C)
-    env_idx = env_idx_ref[:]  # (B,) i32
+    env_idx = env_idx_ref[:]  # (B, 1) i32 column (vmap-liftable block shape)
 
     # ---- row gather as one-hot matmul (MXU) --------------------------------
     col_n = jax.lax.broadcasted_iota(jnp.int32, (batch_size, num_envs), 1)
-    onehot_env = (col_n == env_idx[:, None]).astype(jnp.float32)
+    onehot_env = (col_n == env_idx).astype(jnp.float32)
     rows = jnp.dot(onehot_env, p, preferred_element_type=jnp.float32)  # (B, C)
 
     # ---- slots within rows: blocked prefix rank -----------------------------
@@ -73,7 +73,10 @@ def _slot_kernel(
     # per-row carry, statically unrolled.  Trailing zero padding is harmless:
     # padded cdf entries equal the row total and every draw is strictly below
     # it (u ∈ [0,1) ⇒ draw < row_total); all-zero rows yield rank 0.
-    draws = u_slot_ref[:] * jnp.sum(rows, axis=1)  # (B,)
+    # (all row-vector intermediates stay (B, 1)-shaped: rank-1 slices of 2-D
+    # vectors hit Mosaic's "Offset change" relayout gap, and 1-D operands
+    # would lift to illegal blocks under vmap's grid batching rule)
+    draws = u_slot_ref[:] * jnp.sum(rows, axis=1, keepdims=True)  # (B, 1)
     c_pad = ((capacity + _BLOCK - 1) // _BLOCK) * _BLOCK
     if c_pad != capacity:
         rows_p = jnp.pad(rows, ((0, 0), (0, c_pad - capacity)))
@@ -83,15 +86,17 @@ def _slot_kernel(
     col_i = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 1)
     upper_tri = (row_i <= col_i).astype(jnp.float32)  # inclusive prefix
 
-    count = jnp.zeros((batch_size,), jnp.int32)
-    carry = jnp.zeros((batch_size,), jnp.float32)
+    count = jnp.zeros((batch_size, 1), jnp.int32)
+    carry = jnp.zeros((batch_size, 1), jnp.float32)
     for k in range(c_pad // _BLOCK):
         blk = rows_p[:, k * _BLOCK : (k + 1) * _BLOCK]  # static slice
-        cdf = carry[:, None] + jnp.dot(
+        cdf = carry + jnp.dot(
             blk, upper_tri, preferred_element_type=jnp.float32
         )  # (B, BLOCK) inclusive prefix sums
-        count = count + jnp.sum((cdf < draws[:, None]).astype(jnp.int32), axis=1)
-        carry = cdf[:, _BLOCK - 1]
+        count = count + jnp.sum(
+            (cdf < draws).astype(jnp.int32), axis=1, keepdims=True
+        )
+        carry = cdf[:, _BLOCK - 1 : _BLOCK]  # static keepdim slice
     slot_idx_ref[:] = jnp.minimum(count, capacity - 1)
 
 
@@ -122,15 +127,16 @@ def prioritized_sample_pallas(
     )
     slot_idx = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((batch_size, 1), jnp.int32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # env_idx (B,)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # u_slot (B,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # env_idx (B, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u_slot (B, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # priorities (N, C)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(env_idx, u_slot, priorities)
+    )(env_idx.reshape(batch_size, 1), u_slot.reshape(batch_size, 1), priorities)
+    slot_idx = slot_idx[:, 0]
     # exact selected probability: XLA gather (see module docstring)
     p_sel = priorities[env_idx, slot_idx] / jnp.maximum(total, 1e-12)
     return env_idx, slot_idx, p_sel

@@ -24,6 +24,14 @@ Shapes are padded to the fp32 VMEM tile (8, 128) by Pallas automatically; the
 kernel masks the action axis with an explicit iota < A comparison so padding
 lanes never contribute.  ``interpret=True`` (CPU tests) runs the same kernel
 through the Pallas interpreter.
+
+vmap/batching (population training): every operand is kept >=2-D — vectors
+travel as ``(B, 1)`` columns — so that jax's pallas batching rule (which
+lifts a vmapped axis into a leading grid dimension with block size 1) always
+produces legal Mosaic blocks: a block's last two dims must divide (8, 128)
+or equal the array's.  A 1-D ``(B,)`` operand would lift to an illegal
+``(1, B)`` block; ``(B, 1)`` lifts to ``(1, B, 1)`` which is exact.  The
+scalar loss rides in VMEM as ``(1, 1)`` for the same reason.
 """
 
 from __future__ import annotations
@@ -61,27 +69,29 @@ def _fwd_kernel(
     q_no = jnp.where(valid, q_next_online_ref[:], neg_inf)
     q_nt = jnp.where(valid, q_next_target_ref[:], neg_inf)
 
+    # all row-vector intermediates stay (B, 1)-shaped: Mosaic's relayout pass
+    # rejects rank-1 slices of 2-D vectors ("Offset change"), so reductions
+    # use keepdims and the column operands are consumed as-is.
     if double:
         # bootstrap at argmax of the ONLINE net (ref q_learning_functions.py:55)
         best = jnp.argmax(q_no, axis=1)  # (B,)
         onehot_best = (col == best[:, None]).astype(jnp.float32)
-        boot = jnp.sum(jnp.where(valid, q_nt * onehot_best, 0.0), axis=1)
+        boot = jnp.sum(jnp.where(valid, q_nt * onehot_best, 0.0), axis=1, keepdims=True)
     else:
-        boot = jnp.max(q_nt, axis=1)
+        boot = jnp.max(q_nt, axis=1, keepdims=True)
 
-    reward = reward_ref[:]  # (B,) n-step return G
-    y = reward + bootstrap_ref[:] * boot
+    y = reward_ref[:] + bootstrap_ref[:] * boot  # (B, 1)
 
-    onehot_a = (col == action_ref[:][:, None]).astype(jnp.float32)
-    q_taken = jnp.sum(jnp.where(valid, q_s * onehot_a, 0.0), axis=1)
+    onehot_a = (col == action_ref[:]).astype(jnp.float32)  # (B,1) vs (B,A)
+    q_taken = jnp.sum(jnp.where(valid, q_s * onehot_a, 0.0), axis=1, keepdims=True)
 
-    td = y - q_taken
+    td = y - q_taken  # (B, 1)
     td_ref[:] = td
 
     abs_td = jnp.abs(td)
     quad = jnp.minimum(abs_td, delta)
     per = 0.5 * quad * quad + delta * (abs_td - quad)
-    loss_ref[0, 0] = jnp.sum(weights_ref[:] * per) / b
+    loss_ref[:] = jnp.reshape(jnp.sum(weights_ref[:] * per) / b, (1, 1))
 
 
 def _bwd_kernel(
@@ -94,14 +104,14 @@ def _bwd_kernel(
     delta: float,
     num_actions: int,
 ):
-    td = td_ref[:]
+    td = td_ref[:]  # (B, 1)
     b = td.shape[0]
     a = dq_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (b, a), 1)
-    onehot_a = (col == action_ref[:][:, None]).astype(jnp.float32)
+    onehot_a = (col == action_ref[:]).astype(jnp.float32)  # (B,1) vs (B,A)
     # d huber / d q_taken = -clip(td, ±δ); scale by weight, batch mean, cotangent
     coeff = -jnp.clip(td, -delta, delta) * weights_ref[:] * (g_ref[0, 0] / b)
-    dq_ref[:] = coeff[:, None] * onehot_a
+    dq_ref[:] = coeff * onehot_a
 
 
 @functools.partial(
@@ -134,11 +144,12 @@ def _run_fwd(q_s, q_next_online, q_next_target, action, reward, bootstrap,
     kernel = functools.partial(
         _fwd_kernel, delta=delta, double=double, num_actions=a
     )
+    col = lambda x: x.reshape(b, 1)  # (B,1) columns: vmap-liftable blocks
     loss, td = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b,), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q_s
@@ -150,12 +161,13 @@ def _run_fwd(q_s, q_next_online, q_next_target, action, reward, bootstrap,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(q_s, q_next_online, q_next_target, action, reward, bootstrap, weights)
-    return loss[0, 0], td
+    )(q_s, q_next_online, q_next_target, col(action), col(reward),
+      col(bootstrap), col(weights))
+    return loss[0, 0], td[:, 0]
 
 
 def _fwd_rule(q_s, q_next_online, q_next_target, action, reward, bootstrap,
@@ -183,7 +195,12 @@ def _bwd_rule(delta, double, interpret, res, cotangents):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(td, action, weights, jnp.reshape(g_loss, (1, 1)).astype(jnp.float32))
+    )(
+        td.reshape(b, 1),
+        action.reshape(b, 1),
+        weights.reshape(b, 1),
+        jnp.reshape(g_loss, (1, 1)).astype(jnp.float32),
+    )
     zeros = lambda x_shape, dt=jnp.float32: jnp.zeros(x_shape, dt)
     return (
         dq,  # q_s

@@ -25,8 +25,10 @@ Notes:
   * HBM: K full runner states (K × replay buffer) — size populations
     accordingly (a 64-member CartPole population with 2^16-capacity buffers
     is ~a few hundred MB).
-  * ``use_pallas`` configs are rejected: the Mosaic kernels are written for
-    unbatched (B, ·) operands; the XLA path is vmap-transparent.
+  * ``use_pallas`` works under vmap (round 2): jax's pallas batching rule
+    lifts the member axis into a leading grid dimension, and the kernels keep
+    every operand >=2-D — vectors travel as (B, 1) columns — so the lifted
+    blocks stay Mosaic-legal (see ops/td_kernels.py, ops/sample_kernels.py).
 """
 
 from __future__ import annotations
@@ -51,11 +53,10 @@ def build_population(
     params per member); ``population_step(runner) -> (runner, metrics)`` is
     the vmapped superstep — jit it with ``donate_argnums=0``.
     """
-    if cfg.use_pallas:
-        raise ValueError(
-            "population training requires use_pallas=False (the Mosaic "
-            "kernels are unbatched; the XLA path is vmap-transparent)"
-        )
+    # use_pallas=True is supported under vmap: jax's pallas batching rule
+    # lifts the member axis into a leading grid dimension, and the kernels
+    # keep every operand >=2-D so the lifted blocks stay Mosaic-legal
+    # (ops/td_kernels.py, ops/sample_kernels.py docstrings).
     from deep_q_learning_tpu.envs import VectorEnv, make_env
     from deep_q_learning_tpu.models import QNetwork
     from deep_q_learning_tpu.replay import make_replay
