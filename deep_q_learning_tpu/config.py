@@ -208,6 +208,53 @@ def multihost_ddqn() -> DQNConfig:
     return dataclasses.replace(lunar_dddqn_vector(), num_envs=8192)
 
 
+# Fields that change compiled array shapes or program structure: a checkpoint
+# written under one value cannot restore into a trainer built with another
+# (the failure would otherwise surface as an opaque pytree/shape mismatch
+# deep inside orbax — see Trainer.restore's cross-check).
+SHAPE_AFFECTING_FIELDS = (
+    "env_id",
+    "num_envs",
+    "steps_per_superstep",
+    "time_fraction_obs",
+    "max_steps_in_episode",
+    "double",
+    "dueling",
+    "n_step",
+    "batch_size",
+    "loss",
+    "optimizer",
+    "replay",
+    "buffer_capacity",
+    "eps_schedule",
+    "target_sync_mode",
+    "hidden",
+    "compute_dtype",
+    "use_pallas",
+    "return_window",
+)
+
+
+def config_to_dict(cfg: DQNConfig) -> dict:
+    d = dataclasses.asdict(cfg)
+    d["hidden"] = list(d["hidden"])
+    return d
+
+
+def config_shape_mismatches(saved: dict, cfg: DQNConfig) -> dict:
+    """Shape-affecting fields that differ between a saved config dict and
+    ``cfg`` (plus Polyak/clip path presence, which is compiled in/out)."""
+    cur = config_to_dict(cfg)
+    bad = {}
+    for f in SHAPE_AFFECTING_FIELDS:
+        if f in saved and saved[f] != cur[f]:
+            bad[f] = (saved[f], cur[f])
+    for f in ("target_tau", "max_grad_norm"):
+        if f in saved and (saved[f] is None) != (cur[f] is None):
+            bad[f] = (saved[f], cur[f])
+    return bad
+
+
 PRESETS = {
     "lunar_ref_parity": lunar_ref_parity,
     "cartpole_vector": cartpole_vector,

@@ -33,6 +33,40 @@ from deep_q_learning_tpu.algos.evaluate import build_evaluator
 from deep_q_learning_tpu.utils import checkpoint as ckpt
 
 
+def _write_config_json(workdir: str, cfg: DQNConfig) -> None:
+    """Persist the resolved config next to the checkpoints, so eval/resume
+    can verify the rebuild matches (shape mismatches otherwise surface as
+    opaque pytree errors deep in orbax)."""
+    import json
+
+    from deep_q_learning_tpu.config import config_to_dict
+
+    os.makedirs(workdir, exist_ok=True)
+    path = os.path.join(workdir, "config.json")
+    with open(path, "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=1)
+
+
+def _check_config_json(workdir: str, cfg: DQNConfig) -> None:
+    import json
+
+    from deep_q_learning_tpu.config import config_shape_mismatches
+
+    path = os.path.join(workdir, "config.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        saved = json.load(f)
+    bad = config_shape_mismatches(saved, cfg)
+    if bad:
+        detail = ", ".join(f"{k}: checkpoint={v[0]!r} vs current={v[1]!r}" for k, v in bad.items())
+        raise ValueError(
+            f"config mismatch vs {path} — the checkpoint was written with "
+            f"different shape-affecting fields ({detail}); repeat the same "
+            f"--preset/--set overrides used at train time"
+        )
+
+
 @dataclasses.dataclass
 class TrainResult:
     solved: bool
@@ -219,10 +253,12 @@ class Trainer:
     # --------------------------------------------------------- persistence
     def save(self, step: int) -> str:
         assert self.workdir, "Trainer(workdir=...) required for checkpointing"
+        _write_config_json(self.workdir, self.cfg)
         return ckpt.save_checkpoint(self.workdir, self.runner, step)
 
     def restore(self, step: Optional[int] = None):
         assert self.workdir, "Trainer(workdir=...) required for checkpointing"
+        _check_config_json(self.workdir, self.cfg)
         template = self.runner if self.runner is not None else self._init_runner(
             jax.random.PRNGKey(self.cfg.seed)
         )
@@ -281,10 +317,29 @@ class DistributedTrainer:
         rets, lengths = self._evaluate(params, jax.random.PRNGKey(seed))
         return np.asarray(rets), np.asarray(lengths)
 
+    # --------------------------------------------------------- persistence
+    # SURVEY §5.3-5.4: mesh-consistent checkpoints + resume-from-latest.
+    # orbax persists jax.Arrays with their shardings; restore targets come
+    # from a fresh sharded runner, so arrays come back sharded over the mesh.
+    def save(self, step: int) -> str:
+        assert self.workdir, "DistributedTrainer(workdir=...) required"
+        _write_config_json(self.workdir, self.cfg)
+        return ckpt.save_checkpoint(self.workdir, self.runner, step)
+
+    def restore(self, step: Optional[int] = None):
+        assert self.workdir, "DistributedTrainer(workdir=...) required"
+        _check_config_json(self.workdir, self.cfg)
+        template = self.runner if self.runner is not None else self._init_runner(
+            jax.random.PRNGKey(self.cfg.seed)
+        )
+        self.runner = ckpt.restore_checkpoint(self.workdir, template, step)
+        return self
+
     def train(
         self,
         max_env_steps: int = 10_000_000,
         log_every: int = 10,
+        checkpoint_every: Optional[int] = None,
         verbose: bool = True,
     ) -> TrainResult:
         from deep_q_learning_tpu.parallel import aggregate_metrics
@@ -315,8 +370,12 @@ class DistributedTrainer:
                         flush=True,
                     )
                 solved = agg["solved"]
+                if checkpoint_every and self.workdir and i % checkpoint_every == 0:
+                    self.save(step=agg["env_steps"])
                 if solved or agg["env_steps"] >= max_env_steps:
                     break
+        if solved and self.workdir:
+            self.save(step=agg["env_steps"])
         return TrainResult(
             solved=solved,
             env_steps=agg["env_steps"],

@@ -114,3 +114,37 @@ def test_distributed_trainer(mesh8):
     assert res.env_steps >= 2048
     assert res.episodes > 0
     assert np.isfinite(res.history[-1]["loss"])
+
+
+def test_distributed_checkpoint_resume_bitwise(tmp_path, mesh8):
+    """SURVEY §5.3-5.4 on the mesh path: DistributedTrainer saves the sharded
+    runner and resumes bitwise — two independent restore+superstep runs from
+    the same checkpoint produce identical learner params and metrics."""
+    import os
+
+    from deep_q_learning_tpu.train import DistributedTrainer
+
+    wd = os.path.join(str(tmp_path), "dckpt")
+    tr = DistributedTrainer(CFG, mesh=mesh8, workdir=wd).init()
+    tr.train(max_env_steps=1024, log_every=2, verbose=False)
+    tr.save(step=1)
+    assert os.path.exists(os.path.join(wd, "config.json"))
+
+    def continue_from_ckpt():
+        t2 = DistributedTrainer(CFG, mesh=mesh8, workdir=wd).init()
+        t2.restore(step=1)
+        t2.runner, m = t2._superstep(t2.runner)
+        return jax.tree.leaves(t2.runner.train.params), m
+
+    leaves1, m1 = continue_from_ckpt()
+    leaves2, m2 = continue_from_ckpt()
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    agg1 = aggregate_metrics(m1, CFG, 8)
+    agg2 = aggregate_metrics(m2, CFG, 8)
+    assert agg1 == agg2
+
+    # config cross-check: a shape-affecting mismatch fails with a clear error
+    bad_cfg = dataclasses.replace(CFG, hidden=(16, 16))
+    with pytest.raises(ValueError, match="config mismatch"):
+        DistributedTrainer(bad_cfg, mesh=mesh8, workdir=wd).init().restore(step=1)
