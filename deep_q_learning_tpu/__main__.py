@@ -93,13 +93,18 @@ def cmd_train(args: argparse.Namespace) -> int:
     cfg = build_config(args.preset, args.set or [])
     if args.seed is not None:
         cfg = dataclasses.replace(cfg, seed=args.seed)
+    if args.resume and not args.workdir:
+        raise SystemExit("--resume requires --workdir (where the checkpoints live)")
     if args.distributed:
         from deep_q_learning_tpu.train import DistributedTrainer
 
         trainer = DistributedTrainer(cfg, workdir=args.workdir).init()
+        if args.resume:
+            trainer.restore()  # latest mesh-consistent checkpoint (SURVEY §5.3)
         result = trainer.train(
             max_env_steps=args.max_env_steps,
             log_every=args.log_every,
+            checkpoint_every=args.checkpoint_every,
             verbose=not args.quiet,
         )
     else:
@@ -141,7 +146,7 @@ def cmd_eval(args: argparse.Namespace) -> int:
     cfg = build_config(args.preset, args.set or [])
     trainer = Trainer(cfg, workdir=args.workdir)
     trainer.restore(step=args.step)
-    rets, lengths = trainer.evaluate(seed=args.seed or 0)
+    rets, lengths = trainer.evaluate(seed=args.seed if args.seed is not None else 0)
     print(
         json.dumps(
             {
@@ -197,24 +202,29 @@ def cmd_hpo(args: argparse.Namespace) -> int:
             optimize_batched,
         )
 
-        if cfg.use_pallas:
-            print("note: population HPO disables the (unbatched) Pallas kernels")
-            cfg = _dc.replace(cfg, use_pallas=False)
         result = optimize_batched(
-            make_population_objective(cfg, env_steps_per_trial=args.steps_per_trial),
+            make_population_objective(
+                cfg,
+                env_steps_per_trial=args.steps_per_trial,
+                train_seed=args.seed if args.seed is not None else 0,
+            ),
             space=REFERENCE_SPACE,
             num_trials=args.trials,
             batch_q=args.population,
-            seed=args.seed or 1000,
+            seed=args.seed if args.seed is not None else 1000,
             verbose=not args.quiet,
         )
     else:
-        objective = make_dqn_objective(cfg, env_steps_per_trial=args.steps_per_trial)
+        objective = make_dqn_objective(
+            cfg,
+            env_steps_per_trial=args.steps_per_trial,
+            train_seed=args.seed,
+        )
         result = optimize(
             objective,
             space=REFERENCE_SPACE,
             num_trials=args.trials,
-            seed=args.seed or 1000,
+            seed=args.seed if args.seed is not None else 1000,
             verbose=not args.quiet,
         )
     print(

@@ -152,13 +152,18 @@ def epsilon_by_schedule(
     "exp_episode" reproduces the reference's per-episode multiplicative decay
     with floor ``ε = max(ε0·decay^episodes, ε_min)`` (q_agent.py:120-121 —
     applied once per episode there; expressed in closed form here so it needs
-    no mutable host state).  "linear_step" is the standard per-env-step linear
+    no mutable host state).  The reference counts the episodes of its single
+    env; ``episodes`` here is the GLOBAL count across all vectorized
+    instances, so it is rescaled by ``num_envs`` to keep the reference's
+    per-env-episode decay rate at any vector width (without this, N envs
+    decay ~N× faster).  "linear_step" is the standard per-env-step linear
     schedule for large vectorized runs.  The schedule KIND is static; its
     parameters come from ``hyper`` (runtime values) when given, else the
     config."""
     h = hyper if hyper is not None else HyperParams.from_config(cfg)
     if cfg.eps_schedule == "exp_episode":
-        eps = h.eps_start * h.eps_decay ** episodes.astype(jnp.float32)
+        per_env_episodes = episodes.astype(jnp.float32) / cfg.num_envs
+        eps = h.eps_start * h.eps_decay**per_env_episodes
         return jnp.maximum(eps, h.eps_min)
     elif cfg.eps_schedule == "linear_step":
         frac = jnp.clip(env_steps.astype(jnp.float32) / h.eps_decay_steps, 0.0, 1.0)

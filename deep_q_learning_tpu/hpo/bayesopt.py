@@ -185,6 +185,7 @@ def make_dqn_objective(
     base_cfg,
     env_steps_per_trial: int,
     eval_seed: int = 0,
+    train_seed: Optional[int] = None,
 ) -> Callable[[Dict[str, float]], float]:
     """Objective = mean TRUE greedy eval return after a fixed env-step budget
     (the ref trained 500 episodes and returned the train window; SURVEY §3.3).
@@ -221,7 +222,10 @@ def make_dqn_objective(
         if cfg not in trainers:
             trainers[cfg] = Trainer(cfg)
         tr = trainers[cfg]
-        tr.init()  # fresh params/buffer/counters; compiled superstep reused
+        # fresh params/buffer/counters; compiled superstep reused.
+        # train_seed decouples the trial's training RNG from eval_seed
+        # (previously eval_seed silently seeded nothing here).
+        tr.init(seed=train_seed)
         if dynamic:
             tr.set_hyper(**dynamic)
         tr.train(max_env_steps=env_steps_per_trial, verbose=False)
@@ -315,6 +319,7 @@ def make_population_objective(
     env_steps_per_trial: int,
     eval_seed: int = 0,
     eval_envs: int = 32,
+    train_seed: int = 0,
 ) -> Callable[[List[Dict[str, float]]], List[float]]:
     """Batch objective: candidates that differ only in RUNTIME hyperparams
     train as one vmapped population (``parallel/population.py``) — one
@@ -355,7 +360,7 @@ def make_population_objective(
                 num_members=len(idxs),
                 max_env_steps=env_steps_per_trial,
                 hyper_overrides=overrides,
-                seed=eval_seed,
+                seed=train_seed,
                 eval_envs=eval_envs,
             )
             for j, i in enumerate(idxs):

@@ -237,10 +237,3 @@ class PrioritizedReplay:
             cursor=one(l.cursor),
             total_adds=one(l.total_adds),
         )
-
-
-# Uniform replay exposes the same protocol so the superstep is agnostic.
-def uniform_sample_with_info(replay, state: ReplayState, key, batch_size):
-    batch = replay.sample(state, key, batch_size)
-    weights = jnp.ones((batch_size,), jnp.float32)
-    return batch, None, weights
