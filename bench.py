@@ -30,22 +30,32 @@ import sys
 import time
 
 
-def run_bench(num_envs: int) -> float:
+def run_bench(num_envs: int, preset: str = "cartpole") -> float:
     import dataclasses
 
     import jax
 
-    from deep_q_learning_tpu.config import cartpole_vector
+    from deep_q_learning_tpu.config import cartpole_vector, lunar_per
     from deep_q_learning_tpu.envs import VectorEnv, make_env
     from deep_q_learning_tpu.models import QNetwork
     from deep_q_learning_tpu.replay import make_replay
     from deep_q_learning_tpu.algos import build_superstep, make_optimizer
 
-    cfg = dataclasses.replace(
-        cartpole_vector(),
-        num_envs=num_envs,
-        buffer_capacity=max(1 << 20, num_envs * 64),
-    )
+    if preset == "lunar":
+        # the physics-heavy program: dueling DDQN + PER with the Pallas
+        # kernels on (VERDICT r1 item 8 — regressions in the contact solver
+        # or the Mosaic kernels must show up in the driver metric)
+        cfg = dataclasses.replace(
+            lunar_per(),
+            num_envs=num_envs,
+            buffer_capacity=max(1 << 19, num_envs * 64),
+        )
+    else:
+        cfg = dataclasses.replace(
+            cartpole_vector(),
+            num_envs=num_envs,
+            buffer_capacity=max(1 << 20, num_envs * 64),
+        )
     env, p = make_env(cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode)
     venv = VectorEnv(env, cfg.num_envs)
     net = QNetwork(num_actions=env.num_actions, hidden=cfg.hidden, dueling=cfg.dueling)
@@ -82,33 +92,50 @@ def run_bench(num_envs: int) -> float:
     return best
 
 
+def _timeboxed(num_envs: int, budget: int, preset: str = "cartpole"):
+    """Run one measurement in a time-boxed child (remote-compile variance
+    must not blow the caller's budget; the on-disk executable cache makes
+    reruns immune to it)."""
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--inner",
+                str(num_envs),
+                preset,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=budget,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)["value"]
+    except (subprocess.TimeoutExpired, Exception):
+        pass
+    return None
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--inner":
         # time-boxed child: measure and print the raw number
-        print(json.dumps({"value": run_bench(int(sys.argv[2]))}))
+        preset = sys.argv[3] if len(sys.argv) > 3 else "cartpole"
+        print(json.dumps({"value": run_bench(int(sys.argv[2]), preset)}))
         return
 
     value = None
-    # large-config attempts, biggest first (each time-boxed: remote-compile
-    # variance must not blow the caller's budget; the on-disk executable
-    # cache makes reruns immune to it), then the reliably-fast small config
+    # large-config attempts, biggest first, then the reliably-fast small one
     for num_envs, budget in ((131072, 420), (16384, 300)):
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--inner", str(num_envs)],
-                capture_output=True,
-                text=True,
-                timeout=budget,
-            )
-            for line in out.stdout.splitlines():
-                if line.startswith("{"):
-                    value = json.loads(line)["value"]
-        except (subprocess.TimeoutExpired, Exception):
-            value = None
+        value = _timeboxed(num_envs, budget)
         if value is not None:
             break
     if value is None:  # fallback: small config, reliably fast compile
         value = run_bench(4096)
+
+    # second line item: LunarLander (physics + Pallas kernels), 1024 envs —
+    # same JSON line so the driver contract (ONE line) holds
+    lunar = _timeboxed(1024, 420, "lunar")
 
     baseline = 1_000_000.0  # BASELINE.json north-star aggregate env-steps/s
     print(
@@ -118,6 +145,9 @@ def main() -> None:
                 "value": round(value),
                 "unit": "env-steps/s",
                 "vs_baseline": round(value / baseline, 3),
+                "lunar_per_1024envs_env_steps_per_s": (
+                    round(lunar) if lunar is not None else None
+                ),
             }
         )
     )
