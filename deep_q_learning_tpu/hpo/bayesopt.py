@@ -329,8 +329,8 @@ def make_population_objective(
     fields in ``base_cfg`` (drop them from the search space) to keep every
     round a single program."""
     from deep_q_learning_tpu.parallel.population import (
+        PopulationTrainer,
         candidate_overrides,
-        train_population,
     )
 
     runtime = set(_RUNTIME_PARAMS)
@@ -338,6 +338,11 @@ def make_population_objective(
         runtime.discard("target_tau")
     if base_cfg.max_grad_norm is None:
         runtime.discard("max_grad_norm")
+
+    # (static fields, member count) -> built program.  Reused across GP
+    # rounds: with a runtime-only search space the WHOLE search compiles
+    # exactly once (the remote backend charges minutes per LunarLander jit).
+    trainers: Dict[tuple, PopulationTrainer] = {}
 
     def batch_objective(candidates: List[Dict[str, float]]) -> List[float]:
         typed = [
@@ -350,21 +355,25 @@ def make_population_objective(
             groups.setdefault(key, []).append(i)
         out = [0.0] * len(typed)
         for static_kv, idxs in groups.items():
-            cfg = dataclasses.replace(base_cfg, **dict(static_kv))
+            tkey = (static_kv, len(idxs))
+            if tkey not in trainers:
+                trainers[tkey] = PopulationTrainer(
+                    dataclasses.replace(base_cfg, **dict(static_kv)),
+                    num_members=len(idxs),
+                    eval_envs=eval_envs,
+                )
             dyn = [
                 {k: v for k, v in typed[i].items() if k in runtime} for i in idxs
             ]
             overrides = candidate_overrides(dyn) if dyn[0] else None
-            res = train_population(
-                cfg,
-                num_members=len(idxs),
+            res = trainers[tkey].run(
                 max_env_steps=env_steps_per_trial,
                 hyper_overrides=overrides,
                 seed=train_seed,
-                eval_envs=eval_envs,
             )
             for j, i in enumerate(idxs):
                 out[i] = float(res["eval_mean"][j])
         return out
 
+    batch_objective.trainers = trainers  # exposed for reuse tests
     return batch_objective

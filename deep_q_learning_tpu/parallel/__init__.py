@@ -10,6 +10,7 @@ from deep_q_learning_tpu.parallel.distributed import (
     build_distributed_superstep,
 )
 from deep_q_learning_tpu.parallel.population import (
+    PopulationTrainer,
     build_population,
     candidate_overrides,
     set_population_hyper,

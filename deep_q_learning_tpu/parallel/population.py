@@ -111,6 +111,84 @@ def set_population_hyper(runner, **overrides):
     return runner.replace(hyper=runner.hyper.replace(**new))
 
 
+class PopulationTrainer:
+    """Reusable K-member population program.
+
+    Builds (and jits) the vmapped superstep and evaluator ONCE; ``run`` can
+    then be called many times (fresh member states per call).  This matters
+    on the remote TPU backend, where every re-jit of the LunarLander program
+    costs minutes: a Bayesian-HPO loop that calls ``run`` once per proposal
+    round pays one compile for the whole search (the reference instead pays
+    one full sequential training per trial,
+    ``hyperparameter_optimization.py:126-132``)."""
+
+    def __init__(self, cfg: DQNConfig, num_members: int, eval_envs: int = 32):
+        from deep_q_learning_tpu.envs import VectorEnv, make_env
+        from deep_q_learning_tpu.algos.evaluate import build_evaluator
+
+        self.cfg = cfg
+        self.num_members = num_members
+        init_population, population_step, network = build_population(
+            cfg, num_members
+        )
+        self._init = init_population
+        self._step = jax.jit(population_step, donate_argnums=0)
+        env, env_params = make_env(
+            cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode
+        )
+        evaluate = build_evaluator(
+            VectorEnv(env, eval_envs), env_params, network,
+            env_params.max_steps_in_episode,
+        )
+        self._evaluate = jax.jit(jax.vmap(evaluate, in_axes=(0, 0)))
+
+    def run(
+        self,
+        max_env_steps: int,
+        hyper_overrides: Optional[Dict[str, Any]] = None,
+        seed: int = 0,
+        eval_after: bool = True,
+        verbose: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Train K fresh members to an env-step budget; per-member results.
+
+        Returns ``{"window_mean": (K,), "episodes": (K,), "env_steps": int,
+        "eval_mean": (K,)?}`` — ``eval_mean`` is the true greedy eval return
+        per member (the corrected HPO objective; the reference returned the
+        training window, SURVEY §3.3)."""
+        cfg = self.cfg
+        runner = self._init(jax.random.PRNGKey(seed))
+        if hyper_overrides:
+            runner = set_population_hyper(runner, **hyper_overrides)
+
+        steps_per_call = cfg.steps_per_superstep * cfg.num_envs
+        num_calls = max(1, -(-max_env_steps // steps_per_call))
+        for i in range(num_calls):
+            runner, metrics = self._step(runner)
+            if verbose and (i + 1) % 10 == 0:
+                wm = np.asarray(metrics.window_mean)
+                print(
+                    f"[population] superstep {i + 1}/{num_calls} window "
+                    f"min/med/max = "
+                    f"{wm.min():.1f}/{np.median(wm):.1f}/{wm.max():.1f}",
+                    flush=True,
+                )
+        out: Dict[str, Any] = {
+            "window_mean": np.asarray(metrics.window_mean),
+            "episodes": np.asarray(metrics.episodes),
+            "env_steps": int(np.asarray(metrics.env_steps)[0]) * cfg.num_envs,
+        }
+        if eval_after:
+            rets, _ = self._evaluate(
+                runner.train.params,
+                jax.random.split(
+                    jax.random.PRNGKey(seed + 1), self.num_members
+                ),
+            )
+            out["eval_mean"] = np.asarray(rets).mean(axis=1)
+        return out
+
+
 def train_population(
     cfg: DQNConfig,
     num_members: int,
@@ -121,51 +199,15 @@ def train_population(
     eval_envs: int = 32,
     verbose: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Train K members to an env-step budget; return per-member results.
-
-    Returns ``{"window_mean": (K,), "episodes": (K,), "env_steps": int,
-    "eval_mean": (K,)?}`` — ``eval_mean`` is the true greedy eval return per
-    member (the corrected HPO objective; the reference returned the training
-    window, SURVEY §3.3)."""
-    from deep_q_learning_tpu.envs import VectorEnv, make_env
-    from deep_q_learning_tpu.algos.evaluate import build_evaluator
-
-    init_population, population_step, network = build_population(cfg, num_members)
-    runner = init_population(jax.random.PRNGKey(seed))
-    if hyper_overrides:
-        runner = set_population_hyper(runner, **hyper_overrides)
-    step = jax.jit(population_step, donate_argnums=0)
-
-    steps_per_call = cfg.steps_per_superstep * cfg.num_envs
-    num_calls = max(1, -(-max_env_steps // steps_per_call))
-    for i in range(num_calls):
-        runner, metrics = step(runner)
-        if verbose and (i + 1) % 10 == 0:
-            wm = np.asarray(metrics.window_mean)
-            print(
-                f"[population] superstep {i + 1}/{num_calls} window "
-                f"min/med/max = {wm.min():.1f}/{np.median(wm):.1f}/{wm.max():.1f}",
-                flush=True,
-            )
-    out: Dict[str, Any] = {
-        "window_mean": np.asarray(metrics.window_mean),
-        "episodes": np.asarray(metrics.episodes),
-        "env_steps": int(np.asarray(metrics.env_steps)[0]) * cfg.num_envs,
-    }
-    if eval_after:
-        env, env_params = make_env(
-            cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode
-        )
-        evaluate = build_evaluator(
-            VectorEnv(env, eval_envs), env_params, network,
-            env_params.max_steps_in_episode,
-        )
-        rets, _ = jax.jit(jax.vmap(evaluate, in_axes=(0, 0)))(
-            runner.train.params,
-            jax.random.split(jax.random.PRNGKey(seed + 1), num_members),
-        )
-        out["eval_mean"] = np.asarray(rets).mean(axis=1)
-    return out
+    """One-shot convenience wrapper over :class:`PopulationTrainer`."""
+    trainer = PopulationTrainer(cfg, num_members, eval_envs=eval_envs)
+    return trainer.run(
+        max_env_steps,
+        hyper_overrides=hyper_overrides,
+        seed=seed,
+        eval_after=eval_after,
+        verbose=verbose,
+    )
 
 
 def candidate_overrides(candidates) -> Dict[str, np.ndarray]:

@@ -112,3 +112,12 @@ def test_population_objective_end_to_end():
     vals = objective(cands)
     assert len(vals) == 3
     assert all(np.isfinite(v) for v in vals)
+    # two static groups: (batch 16, 2 members) and (batch 24, 1 member)
+    assert len(objective.trainers) == 2
+
+    # a second round with the same static layout REUSES the built programs
+    # (one compile for the whole search; remote lunar jits cost minutes)
+    before = {k: id(v) for k, v in objective.trainers.items()}
+    vals2 = objective(cands)
+    assert all(np.isfinite(v) for v in vals2)
+    assert {k: id(v) for k, v in objective.trainers.items()} == before
