@@ -188,12 +188,13 @@ def cmd_eval(args: argparse.Namespace) -> int:
 
 def cmd_hpo(args: argparse.Namespace) -> int:
     from deep_q_learning_tpu.hpo.bayesopt import (
-        REFERENCE_SPACE,
+        SPACES,
         make_dqn_objective,
         optimize,
     )
 
     cfg = build_config(args.preset, args.set or [])
+    space = SPACES[args.space]
     if args.population > 1:
         import dataclasses as _dc
 
@@ -208,7 +209,7 @@ def cmd_hpo(args: argparse.Namespace) -> int:
                 env_steps_per_trial=args.steps_per_trial,
                 train_seed=args.seed if args.seed is not None else 0,
             ),
-            space=REFERENCE_SPACE,
+            space=space,
             num_trials=args.trials,
             batch_q=args.population,
             seed=args.seed if args.seed is not None else 1000,
@@ -222,7 +223,7 @@ def cmd_hpo(args: argparse.Namespace) -> int:
         )
         result = optimize(
             objective,
-            space=REFERENCE_SPACE,
+            space=space,
             num_trials=args.trials,
             seed=args.seed if args.seed is not None else 1000,
             verbose=not args.quiet,
@@ -298,6 +299,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("hpo", help="Bayesian hyperparameter search")
     common(p)
     p.add_argument("--trials", type=int, default=20)  # ref: 20 runs
+    p.add_argument(
+        "--space",
+        choices=("reference", "lunar"),
+        default="reference",
+        help="search space: the reference's exact bounds, or the runtime-only "
+        "lunar space (one compiled program for the whole search)",
+    )
     p.add_argument("--steps-per-trial", type=int, default=2_000_000)
     p.add_argument(
         "--population", type=int, default=1, metavar="Q",

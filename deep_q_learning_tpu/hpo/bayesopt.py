@@ -91,6 +91,21 @@ REFERENCE_SPACE: Tuple[Param, ...] = (
     Param("train_every", 2, 15, integer=True),
 )
 
+# runtime-only space around the lunar_per preset: every dimension is a traced
+# HyperParams field, so a whole search (population or sequential) reuses ONE
+# compiled program.  Demonstrated to find solving configs (20/24 trials >=200
+# eval, best 293.7 — artifacts/lunar_hpo_solving.json).
+LUNAR_SPACE: Tuple[Param, ...] = (
+    Param("learning_rate", 1e-4, 1e-3),
+    Param("gamma", 0.97, 0.997),
+    Param("per_beta", 0.2, 0.8),
+    Param("target_tau", 0.002, 0.02),
+    Param("eps_decay_steps", 100_000, 600_000, integer=True),
+    Param("eps_min", 0.005, 0.1),
+)
+
+SPACES = {"reference": REFERENCE_SPACE, "lunar": LUNAR_SPACE}
+
 
 @dataclasses.dataclass
 class Trial:

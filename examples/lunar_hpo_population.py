@@ -26,19 +26,9 @@ import time
 
 from deep_q_learning_tpu.config import lunar_per
 from deep_q_learning_tpu.hpo.bayesopt import (
-    Param,
+    LUNAR_SPACE,
     make_population_objective,
     optimize_batched,
-)
-
-# runtime-only space around the lunar_per preset (all traced; zero recompiles)
-LUNAR_SPACE = (
-    Param("learning_rate", 1e-4, 1e-3),
-    Param("gamma", 0.97, 0.997),
-    Param("per_beta", 0.2, 0.8),
-    Param("target_tau", 0.002, 0.02),
-    Param("eps_decay_steps", 100_000, 600_000, integer=True),
-    Param("eps_min", 0.005, 0.1),
 )
 
 
