@@ -158,12 +158,18 @@ def build_distributed_superstep(
         lambda k: _to_global(init_local(k, net_key=k), replay), jax.random.PRNGKey(0)
     )
     specs = _runner_specs(example, replay)
-    # every metric leaf gets one slot per shard on a leading axis
-    metric_example = SuperstepMetrics(
-        env_steps=0, episodes=0, episodes_delta=0, return_sum_delta=0.0,
-        loss_sum=0.0, loss_count=0.0, window_mean=0.0, epsilon=0.0, solved=False,
+    # metrics are reduced IN-GRAPH over the env axis (psum/pmean ride ICI on
+    # real hardware, Gloo on the multi-process CPU backend) and come back
+    # fully replicated — so the host can read them as plain scalars even when
+    # this process only addresses a subset of the mesh (multi-process safe;
+    # per-shard metric slots would be non-addressable off-host).
+    metric_specs = jax.tree.map(
+        lambda _: P(),
+        SuperstepMetrics(
+            env_steps=0, episodes=0, episodes_delta=0, return_sum_delta=0.0,
+            loss_sum=0.0, loss_count=0.0, window_mean=0.0, epsilon=0.0, solved=False,
+        ),
     )
-    metric_specs = jax.tree.map(lambda _: P(ENV_AXIS), metric_example)
 
     @partial(
         shard_map,
@@ -176,9 +182,28 @@ def build_distributed_superstep(
         return _to_global(init_local(shard_keys[0], net_key=net_key), replay)
 
     def init_runner(key: jax.Array) -> RunnerState:
+        # keys cross the host->global-mesh boundary as numpy: every process
+        # computes the same values, so jax can form the global (sharded)
+        # inputs without cross-process transfers from a single-device array
         net_key, env_key = jax.random.split(key)
-        shard_keys = jax.random.split(env_key, num_shards)
-        return _init_sharded(shard_keys, net_key)
+        shard_keys = np.asarray(jax.random.split(env_key, num_shards))
+        return _init_sharded(shard_keys, np.asarray(net_key))
+
+    def _reduce_metrics(m: SuperstepMetrics) -> SuperstepMetrics:
+        psum = lambda x: jax.lax.psum(x, ENV_AXIS)
+        return SuperstepMetrics(
+            # lockstep-identical per shard; pmax makes replication explicit
+            env_steps=jax.lax.pmax(m.env_steps, ENV_AXIS),
+            episodes=psum(m.episodes),
+            episodes_delta=psum(m.episodes_delta),
+            return_sum_delta=psum(m.return_sum_delta),
+            loss_sum=psum(m.loss_sum),
+            loss_count=psum(m.loss_count),
+            window_mean=jax.lax.pmean(m.window_mean, ENV_AXIS),
+            epsilon=jax.lax.pmax(m.epsilon, ENV_AXIS),
+            # solved only when EVERY shard's window clears the threshold
+            solved=jax.lax.pmin(m.solved.astype(jnp.int32), ENV_AXIS).astype(bool),
+        )
 
     @partial(
         shard_map,
@@ -189,25 +214,23 @@ def build_distributed_superstep(
     )
     def superstep(g: RunnerState):
         local, metrics = superstep_local(_to_local(g, replay))
-        return _to_global(local, replay), jax.tree.map(
-            lambda x: jnp.asarray(x)[None], metrics
-        )
+        return _to_global(local, replay), _reduce_metrics(metrics)
 
     return init_runner, superstep, network
 
 
-def aggregate_metrics(m: SuperstepMetrics, cfg: DQNConfig, num_shards: int) -> dict:
-    """Host-side reduction of per-shard metric slots to global numbers."""
-    env_steps = int(np.asarray(m.env_steps)[0]) * cfg.num_envs  # lockstep: same per shard
-    loss_counts = np.asarray(m.loss_count)
-    window_mean = float(np.mean(np.asarray(m.window_mean)))
+def aggregate_metrics(m: SuperstepMetrics, cfg: DQNConfig, num_shards: int = 1) -> dict:
+    """Convert the (replicated, already cross-shard-reduced) metrics pytree to
+    host scalars.  Replicated arrays are fully addressable from every process,
+    so this is multi-process safe (``num_shards`` kept for API compatibility;
+    the reduction itself happens in-graph)."""
     return {
-        "env_steps": env_steps,
-        "episodes": int(np.sum(np.asarray(m.episodes))),
-        "episodes_delta": int(np.sum(np.asarray(m.episodes_delta))),
-        "return_sum_delta": float(np.sum(np.asarray(m.return_sum_delta))),
-        "loss": float(np.sum(np.asarray(m.loss_sum)) / max(np.sum(loss_counts), 1.0)),
-        "window_mean": window_mean,
-        "epsilon": float(np.asarray(m.epsilon)[0]),
-        "solved": bool(np.all(np.asarray(m.solved))),
+        "env_steps": int(m.env_steps) * cfg.num_envs,  # lockstep vector steps
+        "episodes": int(m.episodes),
+        "episodes_delta": int(m.episodes_delta),
+        "return_sum_delta": float(m.return_sum_delta),
+        "loss": float(m.loss_sum) / max(float(m.loss_count), 1.0),
+        "window_mean": float(m.window_mean),
+        "epsilon": float(m.epsilon),
+        "solved": bool(m.solved),
     }

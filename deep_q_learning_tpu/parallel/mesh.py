@@ -17,19 +17,50 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ENV_AXIS = "env"
 
 
-def distributed_init(**kwargs) -> None:
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> None:
     """Multi-host process bootstrap (``jax.distributed.initialize``).
 
-    No-op when running single-process (the common case on one host / in
-    tests); on a pod slice each host calls this before building the mesh so
-    ``jax.devices()`` spans the slice."""
-    if jax.process_count() > 1:
+    Three launch modes:
+      * single-process (the common case on one host / in tests): call with no
+        arguments — initialization errors from missing coordinator env vars
+        are swallowed and the process runs standalone;
+      * TPU pod slice: call with no arguments on each host; jax auto-detects
+        the coordinator from the TPU environment;
+      * explicit multi-process (including the CPU-backend multi-process tests,
+        ``tests/test_multiprocess.py``): pass ``coordinator_address``
+        ("host:port"), ``num_processes`` and ``process_id`` — after this,
+        ``jax.devices()`` spans every process (cross-process CPU collectives
+        ride Gloo; on TPU pods, ICI/DCN).
+
+    Idempotent: a second call on an already-initialized runtime is a no-op.
+    """
+    # NOTE: must not touch jax.process_count()/jax.devices() here — any
+    # backend-initialising call before jax.distributed.initialize() is an
+    # error.  Detect "already initialized" via the distributed client state.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
+    explicit = coordinator_address is not None
+    if explicit:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
+    except (ValueError, RuntimeError) as e:
+        if "already" in str(e).lower():
+            return
+        if explicit:
+            raise  # a requested multi-process launch must not silently degrade
         # single-process launch without coordinator env vars: fine
-        pass
 
 
 def make_env_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:

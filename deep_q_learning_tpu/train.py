@@ -41,6 +41,8 @@ def _write_config_json(workdir: str, cfg: DQNConfig) -> None:
 
     from deep_q_learning_tpu.config import config_to_dict
 
+    if jax.process_index() != 0:
+        return  # multi-process: one writer (all processes hold the same cfg)
     os.makedirs(workdir, exist_ok=True)
     path = os.path.join(workdir, "config.json")
     with open(path, "w") as f:
