@@ -66,6 +66,7 @@ class PrioritizedReplay:
         alpha: float = 0.6,
         beta: float = 0.4,
         eps: float = 1e-6,
+        max_decay: float = 0.999,
         use_pallas: bool = False,
         gamma: float = 0.99,
         n_step: int = 1,
@@ -76,6 +77,8 @@ class PrioritizedReplay:
         self.alpha = alpha
         self.beta = beta
         self.eps = eps
+        # insertion-priority high-water decay per update; 1.0 = monotone max
+        self.max_decay = max_decay
         self.gamma = gamma
         self.n_step = n_step
         self.truncation_bootstrap = truncation_bootstrap
@@ -198,10 +201,23 @@ class PrioritizedReplay:
     ) -> PrioritizedReplayState:
         mag = jnp.abs(td_errors) + self.eps
         new_p = mag**self.alpha
-        priorities = state.priorities.at[info.env_idx, info.slot_idx].set(new_p)
+        # Duplicate (env, slot) pairs in one batch are the SAME transition, so
+        # their |td| values agree — but XLA scatter with duplicate indices has
+        # unspecified which-write-wins.  Zero the touched slots (identical
+        # writes, deterministic) then scatter-MAX the new values: duplicates
+        # resolve to max-wins, a documented, deterministic rule
+        # (tests/test_per.py::test_update_duplicate_indices).
+        priorities = state.priorities.at[info.env_idx, info.slot_idx].set(0.0)
+        priorities = priorities.at[info.env_idx, info.slot_idx].max(new_p)
+        # Decaying high-water mark: the classic monotone max lets one outlier
+        # |td| permanently pin every future insertion priority; decaying it
+        # toward the freshest batch max forgets the outlier once the buffer
+        # has recycled (max_decay=1.0 restores the monotone behavior).
         return state.replace(
             priorities=priorities,
-            max_priority=jnp.maximum(state.max_priority, jnp.max(mag)),
+            max_priority=jnp.maximum(
+                state.max_priority * self.max_decay, jnp.max(mag)
+            ),
         )
 
     def can_sample(self, state: PrioritizedReplayState, min_transitions: int) -> jax.Array:

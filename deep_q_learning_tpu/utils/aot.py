@@ -58,6 +58,17 @@ def _execution_device_ids(compiled) -> list:
         return [jax.devices()[0].id]
 
 
+def cache_info(jitted, *args: Any, cache_dir: str) -> tuple:
+    """``(path, exists)`` for the cache entry ``load_or_compile`` would use.
+
+    Lets callers (bench.py) report whether a measurement ran against a warm
+    executable cache — a cold 131072-env compile can blow the bench time-box
+    and silently demote the config (VERDICT r2 weak #3)."""
+    lowered = jitted.lower(*args)
+    path = os.path.join(cache_dir, f"{_cache_key(lowered)}.jaxexec")
+    return path, os.path.exists(path)
+
+
 def load_or_compile(jitted, *args: Any, cache_dir: str, verbose: bool = False):
     """Return a compiled executable for ``jitted(*args)``, reusing a
     serialized one from ``cache_dir`` when the lowered program matches.

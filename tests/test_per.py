@@ -75,6 +75,53 @@ def test_update_priorities():
     assert float(state.max_priority) == 3.0
 
 
+def test_update_duplicate_indices():
+    """Duplicate (env, slot) pairs in one update batch resolve MAX-wins —
+    a documented deterministic rule (XLA scatter alone leaves which-write-wins
+    unspecified; VERDICT r2 weak #5)."""
+    replay = PrioritizedReplay(2, 4, alpha=1.0, eps=0.0)
+    state = replay.init(make_transition(2, 0))
+    for t in range(4):
+        state = replay.add(state, make_transition(2, t))
+    info = SampleInfo(
+        env_idx=jnp.array([0, 0, 0, 1]), slot_idx=jnp.array([1, 1, 1, 2])
+    )
+    td = jnp.array([0.5, 2.0, 1.0, 4.0])  # three writes to (0,1)
+    out = replay.update_priorities(state, info, td)
+    p = np.asarray(out.priorities)
+    assert p[0, 1] == 2.0  # max of the duplicate writes, not "whichever won"
+    assert p[1, 2] == 4.0
+    # result is identical under jit (scatter lowering must not change it)
+    out_j = jax.jit(replay.update_priorities)(state, info, td)
+    np.testing.assert_array_equal(p, np.asarray(out_j.priorities))
+
+
+def test_max_priority_decays():
+    """The insertion-priority high-water mark decays toward the fresh batch
+    max instead of pinning to the all-time outlier; max_decay=1.0 restores the
+    classic monotone behavior."""
+    decaying = PrioritizedReplay(2, 4, alpha=1.0, eps=0.0, max_decay=0.5)
+    monotone = PrioritizedReplay(2, 4, alpha=1.0, eps=0.0, max_decay=1.0)
+    state0 = decaying.init(make_transition(2, 0))
+    for t in range(4):
+        state0 = decaying.add(state0, make_transition(2, t))
+    info = SampleInfo(env_idx=jnp.array([0]), slot_idx=jnp.array([1]))
+
+    # one outlier |td|=8, then a stream of small ones
+    s_dec = decaying.update_priorities(state0, info, jnp.array([8.0]))
+    s_mon = monotone.update_priorities(state0, info, jnp.array([8.0]))
+    for _ in range(5):
+        s_dec = decaying.update_priorities(s_dec, info, jnp.array([0.1]))
+        s_mon = monotone.update_priorities(s_mon, info, jnp.array([0.1]))
+    assert float(s_mon.max_priority) == 8.0  # monotone: outlier pinned
+    # decaying: 8 * 0.5^5 = 0.25, floor at the fresh batch max 0.1
+    np.testing.assert_allclose(float(s_dec.max_priority), 0.25)
+    # and the next insert uses the decayed mark
+    nxt = decaying.add(s_dec, make_transition(2, 9))
+    cur = (int(nxt.cursor) - 1) % 4
+    np.testing.assert_allclose(np.asarray(nxt.priorities)[:, cur], 0.25)
+
+
 def test_per_superstep_runs_and_learns():
     from deep_q_learning_tpu.train import Trainer
 
