@@ -80,7 +80,10 @@ def run_bench(num_envs: int, preset: str = "cartpole") -> dict:
             num_envs=num_envs,
             buffer_capacity=max(1 << 20, num_envs * 64),
         )
-    env, p = make_env(cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode)
+    env, p = make_env(
+        cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode,
+        param_overrides=cfg.env_param_overrides(),
+    )
     venv = VectorEnv(env, cfg.num_envs)
     net = QNetwork(num_actions=env.num_actions, hidden=cfg.hidden, dueling=cfg.dueling)
     replay = make_replay(cfg)

@@ -82,6 +82,24 @@ class DQNConfig:
     # --- kernels ----------------------------------------------------------
     use_pallas: bool = False  # fused Pallas TD+loss kernel on the TPU path
 
+    # --- lander physics engine (ignored by other envs) --------------------
+    # "jointed": the Box2D-exact 3-body assembly (hull + motorized leg
+    # joints, envs/lander_solver.py) — touchdown outcomes emerge from joint
+    # loading; the fidelity default.  "rigid": round-2's single rigid body
+    # with the calibrated J_CRASH threshold — cheaper per frame; kept for
+    # throughput-calibrated presets whose training recipes were tuned on it.
+    lander_engine: str = "jointed"
+    lander_vel_iters: int = 180  # gym's world.Step(.., 6*30, 2*30)
+    lander_pos_iters: int = 60
+
+    def env_param_overrides(self) -> dict:
+        """Param overrides for make_env (unknown fields are ignored there)."""
+        return {
+            "jointed": self.lander_engine == "jointed",
+            "vel_iters": self.lander_vel_iters,
+            "pos_iters": self.lander_pos_iters,
+        }
+
     # --- termination / metrics -------------------------------------------
     return_window: int = 50  # ref 50-episode average (q_agent.py:123-126)
     solve_threshold: Optional[float] = None  # ref reward_to_reach 230.0
@@ -185,6 +203,10 @@ def lunar_dddqn_vector() -> DQNConfig:
         target_tau=0.005,
         hidden=(256, 256),
         return_window=256,
+        # round-2-calibrated fast engine; training recipe (Polyak/n-step/lr)
+        # was tuned on it.  The jointed engine is the fidelity default
+        # elsewhere (lunar_ref_parity) — see DQNConfig.lander_engine.
+        lander_engine="rigid",
         solve_threshold=200.0,
     )
 

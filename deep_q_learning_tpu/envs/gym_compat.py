@@ -99,13 +99,34 @@ def _inject_state_from_gym(genv, jax_env, params):
     import jax.numpy as jnp
 
     from deep_q_learning_tpu.envs.lunar_lander import CHUNKS, LunarLanderState
+    from deep_q_learning_tpu.envs.lander_solver import Body, zero_acc
 
     L = genv.lander
     # terrain surface heights: sky_polys[i][0] = (chunk_x[i], smooth_y[i])
     smooth_y = [genv.sky_polys[i][0][1] for i in range(CHUNKS - 1)]
     smooth_y.append(genv.sky_polys[-1][1][1])  # right endpoint
     terrain = jnp.asarray(np.asarray(smooth_y, np.float32))
+
+    def leg_body(gleg):
+        # leg localCenter is (0,0): body origin == COM, as Body expects
+        return Body(
+            cx=jnp.float32(gleg.position.x),
+            cy=jnp.float32(gleg.position.y),
+            a=jnp.float32(gleg.angle),
+            vx=jnp.float32(gleg.linearVelocity.x),
+            vy=jnp.float32(gleg.linearVelocity.y),
+            w=jnp.float32(gleg.angularVelocity),
+        )
+
+    # gym creates legs for i in [-1, +1]; lander_solver's leg1 is side -1
+    jointed = getattr(params, "jointed", False)
     state = LunarLanderState(
+        leg1_body=leg_body(genv.legs[0]) if jointed else None,
+        leg2_body=leg_body(genv.legs[1]) if jointed else None,
+        # Box2D's accumulators are not readable through pybox2d; starting
+        # from zero costs one settling frame at the (airborne) injection
+        # point, where only the tiny motor/limit impulses are in play.
+        solver_acc=zero_acc() if jointed else None,
         x=jnp.float32(L.position.x),
         y=jnp.float32(L.position.y),
         vx=jnp.float32(L.linearVelocity.x),
@@ -170,6 +191,7 @@ def compare_lunar_stepwise(
     seed: int = 0,
     max_steps: int = 400,
     zero_dispersion: bool = True,
+    closed_loop: bool = False,
 ) -> Optional[dict]:
     """Matched-initial-state, same-action-sequence divergence measurement.
 
@@ -177,6 +199,13 @@ def compare_lunar_stepwise(
     landing controller, actions computed from the GYM observation and
     replayed open-loop into the JAX env), or "burn" (main engine every
     frame — pure in-flight engine-model check).
+
+    ``closed_loop=True`` gives each engine its own heuristic feedback
+    (actions from its own observation).  Open-loop replay of a 200-frame
+    POWERED flight amplifies any per-step difference exponentially (the
+    thrust-attitude loop is unstable), so it measures chaos, not engine
+    error; the closed-loop controller contracts differences instead, making
+    terminal outcome and timing comparable.
 
     Returns per-step divergence checkpoints, first-contact and termination
     steps on both engines, and the step at which divergence first exceeds
@@ -213,11 +242,16 @@ def compare_lunar_stepwise(
     gdone = jdone = False
     for t in range(max_steps):
         if policy == "nop":
-            a = 0
+            a = ja = 0
         elif policy == "burn":
-            a = 2
+            a = ja = 2
         else:
             a = int(heuristic_action(jnp.asarray(np.asarray(gobs, np.float32))))
+            ja = (
+                int(heuristic_action(jnp.asarray(np.asarray(jobs, np.float32))))
+                if closed_loop
+                else a
+            )
         if not gdone:
             gobs_, gr, gterm, gtrunc, _ = genv.step(a)
             gobs = np.asarray(gobs_, np.float32)
@@ -227,15 +261,17 @@ def compare_lunar_stepwise(
                 gdone, g_term_step, g_term_reward = True, t + 1, float(gr)
         if not jdone:
             jobs_, state, jr, jterm, jtrunc = step(
-                jax.random.PRNGKey(t), state, jnp.int32(a), params
+                jax.random.PRNGKey(t), state, jnp.int32(ja), params
             )
             jobs = np.asarray(jobs_)
             if j_first_contact is None and (jobs[6] > 0 or jobs[7] > 0):
                 j_first_contact = t + 1
             if bool(jterm) or bool(jtrunc):
                 jdone, j_term_step, j_term_reward = True, t + 1, float(jr)
-        if gdone or jdone:
+        if gdone and jdone:
             break
+        if gdone or jdone:
+            continue  # keep stepping the live engine for its terminal info
         errs.append(float(np.max(np.abs(jobs[:6] - gobs[:6]))))
         flag_match.append(bool((jobs[6] > 0) == (gobs[6] > 0) and (jobs[7] > 0) == (gobs[7] > 0)))
         rerrs.append(abs(float(jr) - float(gr)))
@@ -254,6 +290,7 @@ def compare_lunar_stepwise(
         "policy": policy,
         "seed": seed,
         "zero_dispersion": zero_dispersion,
+        "closed_loop": closed_loop,
         "init_state_err": init_err,
         "steps_compared": len(errs),
         "flight_steps": len(flight_errs),

@@ -51,13 +51,15 @@ divergence (free flight is float-exact; contact diverges by design).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from deep_q_learning_tpu.envs.base import Environment, EnvParams
+import deep_q_learning_tpu.envs.lander_solver as lander_solver
+from deep_q_learning_tpu.envs.lander_solver import Body
 
 # ----------------------------- published spec constants --------------------
 FPS = 50.0
@@ -120,6 +122,13 @@ class LunarLanderState:
     sleep: jax.Array  # consecutive below-tolerance frames (Box2D sleep timer)
     wind_idx: jax.Array
     torque_idx: jax.Array
+    # jointed mode (params.jointed): the two leg rigid bodies of the 3-body
+    # assembly (lander_solver.Body of per-env scalars) and the solver's
+    # warm-start accumulators (load-bearing; see lander_solver docstring).
+    # None in rigid mode.
+    leg1_body: Any = None
+    leg2_body: Any = None
+    solver_acc: Any = None
 
 
 @struct.dataclass
@@ -131,6 +140,17 @@ class LunarLanderParams(EnvParams):
     turbulence_power: float = 1.5
     dispersion_scale: float = 1.0  # scales engine dispersion noise (1 = spec)
     max_steps_in_episode: int = struct.field(pytree_node=False, default=1000)
+    # --- physics engine selection (static: changes the traced program) -----
+    # jointed=True runs the Box2D-exact 3-body assembly (hull + 2 legs on
+    # motorized revolute joints, lander_solver.py) — crash-vs-land emerges
+    # from joint loading like the real env.  False = round-2's single rigid
+    # body with the calibrated J_CRASH threshold (faster, approximate).
+    jointed: bool = struct.field(pytree_node=False, default=True)
+    # sequential-impulse iteration counts.  gym passes (180, 60) to
+    # world.Step; the 3-body island converges far earlier, so training
+    # presets may lower these (fidelity measured in tests/test_lander_solver.py)
+    vel_iters: int = struct.field(pytree_node=False, default=180)
+    pos_iters: int = struct.field(pytree_node=False, default=60)
 
 
 def _terrain_height(terrain: jax.Array, x: jax.Array) -> jax.Array:
@@ -186,6 +206,20 @@ class LunarLander(Environment[LunarLanderState, LunarLanderParams]):
         )
         widx = jax.random.randint(wind_key, (2,), -9999, 9999)
 
+        def make_leg(side):
+            # gym: position (initial_x - i*LEG_AWAY/SCALE, initial_y), angle
+            # i*0.05 — the joint then PULLS the leg to the hull over the
+            # first frames (the anchors start ~0.63 apart; that snap + the
+            # swing to the joint limits is real gym behavior).
+            return Body(
+                cx=jnp.float32(W / 2.0 - side * LEG_AWAY),
+                cy=jnp.float32(H),
+                a=jnp.float32(side * 0.05),
+                vx=jnp.float32(0.0),
+                vy=jnp.float32(0.0),
+                w=jnp.float32(0.0),
+            )
+
         state = LunarLanderState(
             x=jnp.float32(W / 2.0),
             y=jnp.float32(H),
@@ -201,13 +235,15 @@ class LunarLander(Environment[LunarLanderState, LunarLanderParams]):
             sleep=jnp.int32(0),
             wind_idx=widx[0],
             torque_idx=widx[1],
+            leg1_body=make_leg(-1.0) if params.jointed else None,
+            leg2_body=make_leg(1.0) if params.jointed else None,
+            solver_acc=lander_solver.zero_acc() if params.jointed else None,
         )
         # gym's reset ends with `return self.step(0)[0]`: the first obs has
         # one physics frame applied, with the INITIAL_RANDOM force acting on
         # that frame only (ApplyForceToCenter before the first world.Step).
-        state, _, _ = self._physics_step(
-            step_key, state, jnp.int32(0), params, kick_force=kick
-        )
+        phys = self._physics_step_jointed if params.jointed else self._physics_step
+        state, _, _ = phys(step_key, state, jnp.int32(0), params, kick_force=kick)
         state = state.replace(prev_shaping=self._shaping(state, params), t=jnp.int32(0))
         return self.get_obs(state, params), state
 
@@ -455,9 +491,118 @@ class LunarLander(Environment[LunarLanderState, LunarLanderParams]):
         )
         return new_state, game_over, rest
 
+    # ----------------------------------------------- jointed 3-body physics
+    def _physics_step_jointed(self, key, state, action, params, kick_force=None):
+        """One Box2D frame with the REAL assembly (lander_solver.py): engine
+        impulses on the hull (hull mass/inertia, gym applies them before
+        ``world.Step``), then the 3-body sequential-impulse solve with the
+        motorized leg joints.  ``game_over`` is the hull touching terrain —
+        the actual Box2D crash mechanism — with no calibrated threshold."""
+        dt = 1.0 / lander_solver.FPS
+        sin_a = jnp.sin(state.angle)
+        cos_a = jnp.cos(state.angle)
+        tip0, tip1 = sin_a, cos_a
+        side0, side1 = -cos_a, sin_a
+
+        comx, comy = lander_solver.hull_com(state.x, state.y, state.angle)
+        vx, vy, omega = state.vx, state.vy, state.omega
+        IMH, IIH = lander_solver.IMH, lander_solver.IIH
+
+        disp = (
+            jax.random.uniform(key, (2,), minval=-1.0, maxval=1.0)
+            / SCALE
+            * params.dispersion_scale
+        )
+
+        # wind/turbulence are FORCES on the hull (ApplyForceToCenter/Torque)
+        fx = jnp.zeros_like(vx)
+        fy = jnp.zeros_like(vx)
+        torque = jnp.zeros_like(vx)
+        wind_idx, torque_idx = state.wind_idx, state.torque_idx
+        if params.enable_wind:
+            airborne = jnp.logical_not(state.leg1 | state.leg2)
+            fx = fx + jnp.where(airborne, _wind_pattern(wind_idx) * params.wind_power, 0.0)
+            torque = torque + jnp.where(
+                airborne, _wind_pattern(torque_idx) * params.turbulence_power, 0.0
+            )
+            wind_idx = wind_idx + airborne.astype(jnp.int32)
+            torque_idx = torque_idx + airborne.astype(jnp.int32)
+        if kick_force is not None:
+            fx = fx + kick_force[0]
+            fy = fy + kick_force[1]
+
+        # --- main engine impulse (same published geometry as rigid mode) ---
+        m_power = jnp.where(action == 2, 1.0, 0.0)
+        k_main = MAIN_ENGINE_Y_LOCATION / SCALE + 2.0 * disp[0]
+        ox_m = tip0 * k_main + side0 * disp[1]
+        oy_m = -tip1 * k_main - side1 * disp[1]
+        jmx = -ox_m * MAIN_ENGINE_POWER * m_power
+        jmy = -oy_m * MAIN_ENGINE_POWER * m_power
+        rmx = (state.x + ox_m) - comx
+        rmy = (state.y + oy_m) - comy
+        vx = vx + jmx * IMH
+        vy = vy + jmy * IMH
+        omega = omega + (rmx * jmy - rmy * jmx) * IIH
+
+        # --- side engines ---------------------------------------------------
+        s_power = jnp.where((action == 1) | (action == 3), 1.0, 0.0)
+        direction = jnp.where(action == 3, 1.0, jnp.where(action == 1, -1.0, 0.0))
+        k_side = 3.0 * disp[1] + direction * SIDE_ENGINE_AWAY
+        ox_s = tip0 * disp[0] + side0 * k_side
+        oy_s = -tip1 * disp[0] - side1 * k_side
+        jsx = -ox_s * SIDE_ENGINE_POWER * s_power
+        jsy = -oy_s * SIDE_ENGINE_POWER * s_power
+        rsx = (state.x + ox_s - tip0 * 17.0 / SCALE) - comx
+        rsy = (state.y + oy_s + tip1 * SIDE_ENGINE_HEIGHT) - comy
+        vx = vx + jsx * IMH
+        vy = vy + jsy * IMH
+        omega = omega + (rsx * jsy - rsy * jsx) * IIH
+
+        hull = Body(cx=comx, cy=comy, a=state.angle, vx=vx, vy=vy, w=omega)
+        hull, l1, l2, touch1, touch2, hull_hit, still, new_acc = (
+            lander_solver.assembly_step(
+                hull,
+                state.leg1_body,
+                state.leg2_body,
+                state.terrain,
+                fx,
+                fy,
+                torque,
+                params.gravity,
+                acc=state.solver_acc,
+                dt=dt,
+                vel_iters=params.vel_iters,
+                pos_iters=params.pos_iters,
+            )
+        )
+        x, y = lander_solver.hull_origin(hull.cx, hull.cy, hull.a)
+
+        sleep = jnp.where(still, state.sleep + 1, 0).astype(jnp.int32)
+        rest = sleep >= lander_solver.SLEEP_FRAMES
+
+        new_state = state.replace(
+            x=x,
+            y=y,
+            vx=hull.vx,
+            vy=hull.vy,
+            angle=hull.a,
+            omega=hull.w,
+            leg1=touch1,
+            leg2=touch2,
+            leg1_body=l1,
+            leg2_body=l2,
+            solver_acc=new_acc,
+            sleep=sleep,
+            wind_idx=wind_idx,
+            torque_idx=torque_idx,
+            t=state.t + 1,
+        )
+        return new_state, hull_hit, rest
+
     # ------------------------------------------------------------------ step
     def step_env(self, key, state: LunarLanderState, action, params: LunarLanderParams):
-        new_state, game_over, rest = self._physics_step(key, state, action, params)
+        phys = self._physics_step_jointed if params.jointed else self._physics_step
+        new_state, game_over, rest = phys(key, state, action, params)
 
         m_power = jnp.where(action == 2, 1.0, 0.0)
         s_power = jnp.where((action == 1) | (action == 3), 1.0, 0.0)

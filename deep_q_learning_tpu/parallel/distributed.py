@@ -122,7 +122,10 @@ def build_distributed_superstep(
         )
     local_envs = cfg.num_envs // num_shards
 
-    env, env_params = make_env(cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode)
+    env, env_params = make_env(
+        cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode,
+        param_overrides=cfg.env_param_overrides(),
+    )
     venv = VectorEnv(env, local_envs)
     network = QNetwork(
         num_actions=env.num_actions,

@@ -103,7 +103,8 @@ class Trainer:
         )
         self._aot_loaded = False
         self.env, self.env_params = make_env(
-            cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode
+            cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode,
+            param_overrides=cfg.env_param_overrides(),
         )
         self.venv = VectorEnv(self.env, cfg.num_envs)
         import jax.numpy as jnp
@@ -296,7 +297,8 @@ class DistributedTrainer:
         )
         self._superstep = jax.jit(superstep, donate_argnums=0)
         env, env_params = make_env(
-            cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode
+            cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode,
+            param_overrides=cfg.env_param_overrides(),
         )
         eval_venv = VectorEnv(env, 128)
         self._evaluate = jax.jit(

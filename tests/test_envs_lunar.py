@@ -90,8 +90,13 @@ def test_observation_layout(env_and_params):
     assert float(obs[1]) > 0.5
     # legs not in contact at spawn
     assert float(obs[6]) == 0.0 and float(obs[7]) == 0.0
-    # the kick is a force at the COM: no torque, angle stays 0
-    assert abs(float(obs[4])) < 1e-6
+    # the kick is a force at the COM (no torque), but in the jointed engine
+    # the legs snap to their joint anchors during the internal step, giving
+    # the hull a small reaction rotation — real gym behavior: gymnasium's
+    # reset obs shows |angle| up to ~0.007 (measured seeds 0-3).  The rigid
+    # engine has exactly zero.
+    limit = 0.05 if getattr(p, "jointed", False) else 1e-6
+    assert abs(float(obs[4])) < limit
 
 
 def test_terrain_helipad_flat(env_and_params):
