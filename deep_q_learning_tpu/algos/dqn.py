@@ -175,12 +175,20 @@ def epsilon_by_schedule(
 def epsilon_greedy(
     key: jax.Array, q_values: jax.Array, epsilon: jax.Array
 ) -> jax.Array:
-    """Batched ε-greedy on device (replaces host RNG at q_agent.py:137-141)."""
+    """Batched ε-greedy on device (replaces host RNG at q_agent.py:137-141).
+
+    One uniform draw serves both decisions: ``u < ε`` explores, and
+    conditioned on that, ``u/ε`` is again uniform — so ``floor(u/ε · A)`` is
+    a uniform random action.  Halves the per-frame PRNG work (threefry is a
+    software cipher on the VPU; see artifacts/lunar_profile.json)."""
     n, num_actions = q_values.shape
-    explore_key, action_key = jax.random.split(key)
     greedy = jnp.argmax(q_values, axis=-1)
-    random_actions = jax.random.randint(action_key, (n,), 0, num_actions)
-    explore = jax.random.uniform(explore_key, (n,)) < epsilon
+    u = jax.random.uniform(key, (n,))
+    explore = u < epsilon
+    random_actions = jnp.minimum(
+        (u / jnp.maximum(epsilon, 1e-9) * num_actions).astype(jnp.int32),
+        num_actions - 1,
+    )
     return jnp.where(explore, random_actions, greedy).astype(jnp.int32)
 
 

@@ -238,7 +238,8 @@ def build_superstep(
             # --- env: vector step with in-graph auto-reset ----------------
             with jax.named_scope("env_step"):
                 obs, env_states, transition = venv.step(
-                    env_key, runner.env_states, actions, env_params
+                    env_key, runner.env_states, actions, env_params,
+                    prev_obs=runner.obs,
                 )
             with jax.named_scope("replay_write"):
                 rstate = replay.add(runner.replay, transition)

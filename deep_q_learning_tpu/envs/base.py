@@ -134,18 +134,23 @@ class VectorEnv:
         return jax.vmap(self.env.reset, in_axes=(0, None))(keys, params)
 
     def step(
-        self, key: jax.Array, states: Any, actions: jax.Array, params
+        self, key: jax.Array, states: Any, actions: jax.Array, params,
+        prev_obs: Any = None,
     ) -> Tuple[jax.Array, Any, Transition]:
         """Step all instances; auto-reset finished ones.
 
         Returns ``(obs_after_autoreset, states_after_autoreset, transition)``
         where ``transition`` holds the pre-reset ``next_obs``/flags for replay.
+
+        ``prev_obs``: the current observations, if the caller already holds
+        them (the superstep does) — skips recomputing get_obs per frame.
         """
         step_key, reset_key = jax.random.split(key)
         step_keys = jax.random.split(step_key, self.num_envs)
         reset_keys = jax.random.split(reset_key, self.num_envs)
 
-        prev_obs = jax.vmap(self.env.get_obs, in_axes=(0, None))(states, params)
+        if prev_obs is None:
+            prev_obs = jax.vmap(self.env.get_obs, in_axes=(0, None))(states, params)
         next_obs, next_states, reward, terminated, truncated = jax.vmap(
             self.env.step, in_axes=(0, 0, 0, None)
         )(step_keys, states, actions, params)

@@ -186,6 +186,68 @@ def compare_cartpole(num_steps: int = 200, seed: int = 0) -> Optional[dict]:
     return {"steps_compared": steps, "max_abs_err": max_err}
 
 
+def compare_classic(env_id: str, num_steps: int = 300, seed: int = 0) -> Optional[dict]:
+    """Acrobot/MountainCar stepwise cross-validation against gymnasium
+    (VERDICT r2 item 10): matched initial state, same action sequence,
+    max per-dimension observation divergence."""
+    gym, api = _import_gym()
+    if gym is None:
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from deep_q_learning_tpu.envs import make_env
+
+    genv = gym.make(env_id).unwrapped
+    out = genv.reset(seed=seed)
+    gobs = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
+
+    env, p = make_env(env_id)
+    _, state = env.reset(jax.random.PRNGKey(0), p)
+    if env_id == "Acrobot-v1":
+        # gym state: [theta1, theta2, dtheta1, dtheta2]
+        s = np.asarray(genv.state, np.float64)
+        state = state.replace(
+            theta1=jnp.float32(s[0]),
+            theta2=jnp.float32(s[1]),
+            dtheta1=jnp.float32(s[2]),
+            dtheta2=jnp.float32(s[3]),
+        )
+    elif env_id == "MountainCar-v0":
+        s = np.asarray(genv.state, np.float64)
+        state = state.replace(
+            position=jnp.float32(s[0]), velocity=jnp.float32(s[1])
+        )
+    else:
+        raise ValueError(env_id)
+    num_actions = env.num_actions
+    step = jax.jit(env.step)
+    rng = np.random.RandomState(seed)
+    max_err = 0.0
+    steps = 0
+    term_match = True
+    for t in range(num_steps):
+        a = int(rng.randint(num_actions))
+        gout = genv.step(a)
+        gobs = np.asarray(gout[0], np.float32)
+        gdone = bool(gout[2]) or (api == 5 and bool(gout[3]))
+        jobs, state, _, jterm, jtrunc = step(
+            jax.random.PRNGKey(t), state, jnp.int32(a), p
+        )
+        max_err = max(max_err, float(np.max(np.abs(np.asarray(jobs) - gobs))))
+        steps = t + 1
+        if gdone or bool(jterm):
+            term_match = gdone == bool(jterm)
+            break
+    return {
+        "env_id": env_id,
+        "seed": seed,
+        "steps_compared": steps,
+        "max_abs_err": max_err,
+        "termination_agrees": term_match,
+    }
+
+
 def compare_lunar_stepwise(
     policy: str = "nop",
     seed: int = 0,

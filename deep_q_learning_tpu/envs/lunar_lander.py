@@ -30,23 +30,33 @@ implementation, ``gymnasium/envs/box2d/lunar_lander.py``):
     (+-0.8577, -0.6127) in the hull frame, contact skin 0.019 (Box2D
     polygon/edge radius), ground-leg friction mu = sqrt(0.1*0.2).
 
-  * **Approximated** (documented divergence): Box2D's sequential-impulse
-    solver over the 3-body assembly (hull + 2 legs on motorized revolute
-    joints) is replaced by a single rigid body with two leg-tip contact
-    points resolved by a fixed-iteration (4) impulse solver with accumulated
-    normal/friction impulses — the same algorithm Box2D uses, minus the leg
-    joints.  Leg-joint give-way under hard impacts (the real crash
-    mechanism) is modeled as a calibrated impact-speed threshold: measured
-    on Box2D, a vertical touchdown <= 1.5 m/s always survives and >= 2.5
-    always crashes, with a chaotic joint-phase-dependent band between
-    (artifacts/gym_parity.json); V_CRASH = 2.0 splits it.  Box2D's sleep
-    (the +100 "rest" trigger) is modeled with its real tolerances (0.01
-    linear, 2 deg/s angular, 0.5 s timer).
+  * **Two physics engines** (``params.jointed``, config
+    ``DQNConfig.lander_engine``):
+
+    - ``jointed`` (default, round 3): the REAL 3-body assembly — hull + two
+      legs on motorized revolute joints — stepped by a faithful port of
+      Box2D 2.3.5's sequential-impulse solver (``envs/lander_solver.py``:
+      motor/limit/point joint constraints, 2-point block contact solver,
+      warm-started accumulators, Baumgarte position correction with the b2
+      early exit).  Crash-vs-land emerges from joint loading exactly as on
+      Box2D.  Measured (artifacts/gym_parity.json, matched-state runs):
+      nop-drop flight error <= ~8e-5 obs units on clean seeds, terminal
+      reward sign 10/10, term_step within +-2 on 8/10; closed-loop
+      heuristic terminal sign 9/10.
+
+    - ``rigid`` (round 2): one rigid body with two leg-tip contacts and a
+      calibrated joint-overload threshold (J_CRASH, from the Box2D
+      vertical-drop sweep).  ~8x cheaper per frame; kept for
+      throughput-calibrated training presets.  Free flight tracks Box2D to
+      ~1e-3; touchdown outcomes can flip near the crash boundary.
+
+    Box2D's sleep (the +100 "rest" trigger) uses the real tolerances in
+    both engines (0.01 linear, 2 deg/s angular, 0.5 s timer).
 
 Fixed-seed trajectories are exactly reproducible within this env (jit vs
 jit, bitwise; tested).  Step-level Box2D parity is measured, not assumed:
 ``envs/gym_compat.py`` injects matched initial states and reports per-step
-divergence (free flight is float-exact; contact diverges by design).
+divergence; ``tests/test_gym_parity.py`` gates the envelope in CI.
 """
 
 from __future__ import annotations

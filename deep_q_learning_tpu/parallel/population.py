@@ -63,7 +63,8 @@ def build_population(
     from deep_q_learning_tpu.algos import build_superstep, make_optimizer
 
     env, env_params = make_env(
-        cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode
+        cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode,
+        param_overrides=cfg.env_param_overrides(),
     )
     venv = VectorEnv(env, cfg.num_envs)
     network = QNetwork(

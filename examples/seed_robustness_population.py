@@ -49,7 +49,7 @@ def main() -> None:
     cfg = dataclasses.replace(cfg, seed=args.seed)
     K = args.members
 
-    init_population, population_step, _ = build_population(cfg, K)
+    init_population, population_step, _network = build_population(cfg, K)
     runner = init_population(jax.random.PRNGKey(args.seed))
     step = jax.jit(population_step, donate_argnums=0)
 
@@ -93,7 +93,31 @@ def main() -> None:
 
     wall = time.monotonic() - t0
     agg_steps = int(np.asarray(metrics.env_steps)[0]) * cfg.num_envs * K
+
+    # per-member greedy eval (TRUE returns, matching the Box2D protocol's
+    # 20-episode evaluation) — vmapped over member params
+    from deep_q_learning_tpu.algos.evaluate import build_evaluator
+    from deep_q_learning_tpu.envs import VectorEnv, make_env
+
+    env, env_params = make_env(
+        cfg.env_id, cfg.time_fraction_obs, cfg.max_steps_in_episode,
+        param_overrides=cfg.env_param_overrides(),
+    )
+    eval_venv = VectorEnv(env, 20)
+    evaluator = jax.jit(
+        jax.vmap(
+            build_evaluator(eval_venv, env_params, _network,
+                            env_params.max_steps_in_episode)
+        )
+    )
+    eval_rets, _ = evaluator(
+        runner.train.params, jax.random.split(jax.random.PRNGKey(123), K)
+    )
+    eval_rets = np.asarray(eval_rets)  # (K, 20)
+
     result = {
+        "eval_mean": [round(float(m), 2) for m in eval_rets.mean(axis=1)],
+        "eval_returns": [[round(float(r), 2) for r in row] for row in eval_rets],
         "preset": args.preset,
         "members": K,
         "seed": args.seed,
