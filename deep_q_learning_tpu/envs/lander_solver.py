@@ -67,7 +67,13 @@ CHUNKS = 11
 # (pybox2d 2.3.5: b2Body.mass / .inertia (about COM) / .localCenter for the
 # published fixtures — LANDER_POLY at density 5, 2x8 px leg boxes at 1.)
 HULL_M = 4.816666603088379
-HULL_I = 0.8333148956298828  # about the hull COM
+# TRAP: pybox2d's body.inertia (b2Body::GetInertia) returns the inertia
+# about the body ORIGIN (m_I + m*|localCenter|^2 = 0.8333), but the solver
+# uses m_invI = 1/m_I about the COM.  Using the readout verbatim made the
+# assembly's side-engine spin response 5% low (round-3 debugging: rigid
+# momentum analysis pinned I_eff = 0.9111, which back-solves to exactly
+# this COM inertia).
+HULL_I = 0.8333148956298828 - HULL_M * 0.10130719095468521**2  # = 0.783881
 HULL_CX, HULL_CY = 0.0, 0.10130719095468521  # localCenter (body frame)
 LEG_M = 0.07111112028360367
 LEG_I = 0.0017909470479935408  # about the leg COM (= leg origin)

@@ -41,6 +41,11 @@ def main() -> None:
     ap.add_argument("--out", type=str,
                     default="artifacts/lunar_seed_robustness_r2.json")
     ap.add_argument("--set", action="append", default=[], metavar="FIELD=VALUE")
+    ap.add_argument(
+        "--save-params", type=str, default=None, metavar="DIR",
+        help="save each member's trained params (npz of flattened leaves) "
+        "for cross-engine policy-transfer evaluation",
+    )
     args = ap.parse_args()
 
     from deep_q_learning_tpu.__main__ import build_config
@@ -114,6 +119,17 @@ def main() -> None:
         runner.train.params, jax.random.split(jax.random.PRNGKey(123), K)
     )
     eval_rets = np.asarray(eval_rets)  # (K, 20)
+
+    if args.save_params:
+        import os
+        import pickle
+
+        os.makedirs(args.save_params, exist_ok=True)
+        host_params = jax.device_get(runner.train.params)
+        for i in range(K):
+            member = jax.tree.map(lambda x: np.asarray(x[i]), host_params)
+            with open(os.path.join(args.save_params, f"member_{i}.pickle"), "wb") as f:
+                pickle.dump(member, f)
 
     result = {
         "eval_mean": [round(float(m), 2) for m in eval_rets.mean(axis=1)],

@@ -1,16 +1,23 @@
-"""Standing Box2D cross-validation gates (round-1 VERDICT item 1).
+"""Standing Box2D cross-validation gates (VERDICT r1 item 1, r2 item 5).
 
 These run only when gymnasium + Box2D are importable (they are in the build
-image).  The gates encode the measured fidelity contract of
-``envs/lunar_lander.py``:
+image).  The gates pin the MEASURED fidelity envelope of the jointed 3-body
+engine (``envs/lander_solver.py``; numbers from ``artifacts/
+gym_parity.json``, round 3, with the b2Body::GetInertia COM correction):
 
-* matched-initial-state free flight tracks Box2D to ~1e-2 observation units
-  over >=40 frames (the residual is the leg-swing momentum the single-rigid-
-  body model folds into the hull — see the env module docstring);
-* the heuristic controller lands with +100 on both engines at comparable
-  rates and episode lengths;
+* matched-state powered flight (burn) tracks Box2D to ~5e-5 obs units per
+  early step and <=2.4e-4 over whole flights on clean seeds; crash frames
+  agree EXACTLY on all 10 burn seeds;
+* ballistic (nop) drops terminate within +-2 frames with matching -100 on
+  8/10 seeds (sign 10/10);
+* the closed-loop heuristic lands/crashes with the same terminal sign and
+  comparable rates/lengths on both engines;
 * vertical-impact crash boundaries agree (land <=1.5 m/s, crash >=2.5 m/s,
-  chaotic between on Box2D).
+  chaotic joint-phase band between on BOTH engines).
+
+Thresholds are ~2-3x the committed artifact values so an engine regression
+(wrong impulse term, broken joint solve) fails CI rather than hiding in
+slop (VERDICT r2 weak #4).
 """
 
 import numpy as np
@@ -23,26 +30,61 @@ from deep_q_learning_tpu.envs import gym_compat as gc  # noqa: E402
 
 
 def test_lunar_flight_stepwise_divergence():
-    res = gc.compare_lunar_stepwise(policy="burn", seed=0)
+    # burn seed 1: thrust-on flight, measured flight_max_err 7.8e-5,
+    # obs1 2.9e-5, exact terminal frame agreement
+    res = gc.compare_lunar_stepwise(policy="burn", seed=1)
     assert res["init_state_err"] < 1e-5, res  # state injection is exact
     assert res["flight_steps"] >= 40, res
-    assert res["flight_max_err"] < 0.05, res
+    assert res["flight_max_err"] < 5e-4, res
     # the engine model itself: one full-thrust frame from a matched state
-    assert res["obs_err_at"]["1"] < 5e-3, res
+    assert res["obs_err_at"]["1"] < 2e-4, res
+    assert res["term_step"]["gym"] == res["term_step"]["jax"], res
+    assert res["term_reward"]["gym"] == res["term_reward"]["jax"], res
 
 
 def test_lunar_ballistic_contact_timing():
-    res = gc.compare_lunar_stepwise(policy="nop", seed=0)
-    # both engines reach first ground contact within a few frames of each other
+    res = gc.compare_lunar_stepwise(policy="nop", seed=2, max_steps=1000)
+    # measured: first contact 75/75, termination 76/77, flight 1.7e-5
     g, j = res["first_contact"]["gym"], res["first_contact"]["jax"]
     assert g is not None and j is not None
-    assert abs(g - j) <= 5, res
+    assert abs(g - j) <= 2, res
+    assert res["flight_max_err"] < 1e-4, res
+    assert abs(res["term_step"]["gym"] - res["term_step"]["jax"]) <= 2, res
+    assert (res["term_reward"]["gym"] > 0) == (res["term_reward"]["jax"] > 0), res
+
+
+def test_lunar_heuristic_closed_loop_outcome():
+    # seed 3: measured term 194/195, both +100, flight 2.9e-5
+    res = gc.compare_lunar_stepwise(
+        policy="heuristic", seed=3, max_steps=1000, closed_loop=True
+    )
+    assert res["term_reward"]["gym"] == 100.0, res
+    assert res["term_reward"]["jax"] == 100.0, res
+    assert abs(res["term_step"]["gym"] - res["term_step"]["jax"]) <= 10, res
+    assert res["flight_max_err"] < 1e-3, res
 
 
 def test_lunar_task_level_parity():
     res = gc.compare_lunar_task_level(episodes=6, seed=0)
     assert res["gym"]["mean_return"] > 100, res
     assert res["jax"]["mean_return"] > 100, res
-    # same controller, same success band on both engines
-    assert res["jax"]["land_rate"] >= res["gym"]["land_rate"] - 0.35, res
-    assert abs(res["jax"]["mean_len"] - res["gym"]["mean_len"]) < 150, res
+    # same controller, same success band on both engines (measured land
+    # rates 0.9 vs 1.0, mean_len 258 vs 222 over 20 episodes)
+    assert res["jax"]["land_rate"] >= res["gym"]["land_rate"] - 0.17, res
+    assert abs(res["jax"]["mean_len"] - res["gym"]["mean_len"]) < 80, res
+
+
+def test_lunar_crash_boundary():
+    """Vertical-impact outcome boundary agrees on both engines: a touchdown
+    at <=1.5 m/s always LANDs, >=2.5 m/s always CRASHes (between is Box2D's
+    real joint-phase-dependent chaos band — not asserted)."""
+    from examples.gym_parity_report import impact_sweep_box2d, impact_sweep_jax
+
+    speeds = [1.0, 1.5, 2.5, 3.0]
+    b2 = impact_sweep_box2d(speeds)
+    jx = impact_sweep_jax(speeds, jointed=True)
+    for eng, out in (("box2d", b2), ("jax", jx)):
+        assert out["1.0"] == "LAND", (eng, out)
+        assert out["1.5"] == "LAND", (eng, out)
+        assert out["2.5"] == "CRASH", (eng, out)
+        assert out["3.0"] == "CRASH", (eng, out)
