@@ -59,7 +59,7 @@ def run_bench(num_envs: int, preset: str = "cartpole") -> dict:
 
     import jax
 
-    from deep_q_learning_tpu.config import cartpole_vector, lunar_per
+    from deep_q_learning_tpu.config import cartpole_vector, lunar_per_scaled
     from deep_q_learning_tpu.envs import VectorEnv, make_env
     from deep_q_learning_tpu.models import QNetwork
     from deep_q_learning_tpu.replay import make_replay
@@ -68,12 +68,11 @@ def run_bench(num_envs: int, preset: str = "cartpole") -> dict:
     if preset == "lunar":
         # the physics-heavy program: dueling DDQN + PER with the Pallas
         # kernels on (VERDICT r1 item 8 — regressions in the contact solver
-        # or the Mosaic kernels must show up in the driver metric)
-        cfg = dataclasses.replace(
-            lunar_per(),
-            num_envs=num_envs,
-            buffer_capacity=max(1 << 19, num_envs * 64),
-        )
+        # or the Mosaic kernels must show up in the driver metric).  The
+        # scaled preset holds the sample-per-transition ratio fixed while
+        # batching the learner to the env count (solve-validated; see
+        # config.lunar_per_scaled).
+        cfg = lunar_per_scaled(num_envs)
     else:
         cfg = dataclasses.replace(
             cartpole_vector(),

@@ -219,6 +219,14 @@ def build_superstep(
         return train, new_last
 
     def superstep(runner: RunnerState) -> Tuple[RunnerState, SuperstepMetrics]:
+        # one auto-reset pool per call: the vmapped reset costs a physics
+        # frame + terrain generation per env, so computing it per FRAME
+        # nearly doubled the env phase (see VectorEnv.step docstring)
+        pool_rng, start_rng = jax.random.split(runner.rng)
+        runner = runner.replace(rng=start_rng)
+        with jax.named_scope("reset_pool"):
+            fresh = venv.fresh_pool(pool_rng, env_params)
+
         def body(i, carry):
             runner, loss_sum, loss_count, ep_delta, ret_delta = carry
             rng, action_key, env_key, train_key = jax.random.split(runner.rng, 4)
@@ -239,7 +247,7 @@ def build_superstep(
             with jax.named_scope("env_step"):
                 obs, env_states, transition = venv.step(
                     env_key, runner.env_states, actions, env_params,
-                    prev_obs=runner.obs,
+                    prev_obs=runner.obs, fresh=fresh,
                 )
             with jax.named_scope("replay_write"):
                 rstate = replay.add(runner.replay, transition)

@@ -229,6 +229,35 @@ def lunar_per() -> DQNConfig:
     )
 
 
+def lunar_per_scaled(num_envs: int = 1024) -> DQNConfig:
+    """``lunar_per`` scaled to a large env count with the sample-per-
+    transition ratio held constant: batch grows with the env count and the
+    update cadence stretches so each generated transition is still sampled
+    ~0.25x per frame window (the 128-env solving preset samples 2x).  Large
+    batches amortize the learner's fixed per-launch costs — at 1024 envs
+    this is +12% aggregate steps/s over batch-256-every-frame with the SAME
+    sample throughput (artifacts/lunar_profile.json; bench.py uses this
+    config for the 1024-env lander line).
+
+    The stretched cadence needs compensation to keep SOLVING: Polyak tau
+    scales with train_every (same tracking speed per wall-clock update
+    stream) and the exploration horizon scales with the env count (same
+    per-env experience).  Uncompensated, batch-1024-every-4 peaks at window
+    45; compensated it solves at 42M steps with greedy eval 203
+    (artifacts/lunar_per_scaled_solve.json)."""
+    scale = max(1, num_envs // 128)
+    train_every = 4 if num_envs >= 512 else 1
+    return dataclasses.replace(
+        lunar_per(),
+        num_envs=num_envs,
+        batch_size=max(256, num_envs),
+        train_every=train_every,
+        target_tau=0.005 * train_every,
+        eps_decay_steps=min(2_000_000, 300_000 * scale),
+        buffer_capacity=max(1 << 19, num_envs * 64),
+    )
+
+
 def multihost_ddqn() -> DQNConfig:
     """Config 5: multi-host DDQN — envs sharded over the mesh, replicated
     learner with gradient all-reduce over ICI.  Same algorithm config as
@@ -288,5 +317,6 @@ PRESETS = {
     "cartpole_vector": cartpole_vector,
     "lunar_dddqn_vector": lunar_dddqn_vector,
     "lunar_per": lunar_per,
+    "lunar_per_scaled": lunar_per_scaled,
     "multihost_ddqn": multihost_ddqn,
 }

@@ -133,9 +133,15 @@ class VectorEnv:
         keys = jax.random.split(key, self.num_envs)
         return jax.vmap(self.env.reset, in_axes=(0, None))(keys, params)
 
+    def fresh_pool(self, key: jax.Array, params):
+        """Per-env reset pool for ``step(..., fresh=...)`` — computed once
+        per superstep call instead of per frame."""
+        keys = jax.random.split(key, self.num_envs)
+        return jax.vmap(self.env.reset, in_axes=(0, None))(keys, params)
+
     def step(
         self, key: jax.Array, states: Any, actions: jax.Array, params,
-        prev_obs: Any = None,
+        prev_obs: Any = None, fresh: Any = None,
     ) -> Tuple[jax.Array, Any, Transition]:
         """Step all instances; auto-reset finished ones.
 
@@ -144,10 +150,17 @@ class VectorEnv:
 
         ``prev_obs``: the current observations, if the caller already holds
         them (the superstep does) — skips recomputing get_obs per frame.
+
+        ``fresh``: optional precomputed ``(fresh_obs, fresh_states)`` pool
+        for auto-reset.  Computing the vmapped reset per frame costs a full
+        physics step + terrain generation per env per frame even when no env
+        finished; the superstep precomputes ONE per-env pool per superstep
+        call instead (an env resetting twice within one K-frame window would
+        reuse its pool entry — episodes are far longer than K in practice,
+        and the pool is re-drawn every call).
         """
         step_key, reset_key = jax.random.split(key)
         step_keys = jax.random.split(step_key, self.num_envs)
-        reset_keys = jax.random.split(reset_key, self.num_envs)
 
         if prev_obs is None:
             prev_obs = jax.vmap(self.env.get_obs, in_axes=(0, None))(states, params)
@@ -156,9 +169,13 @@ class VectorEnv:
         )(step_keys, states, actions, params)
 
         done = jnp.logical_or(terminated, truncated)
-        fresh_obs, fresh_states = jax.vmap(self.env.reset, in_axes=(0, None))(
-            reset_keys, params
-        )
+        if fresh is None:
+            reset_keys = jax.random.split(reset_key, self.num_envs)
+            fresh_obs, fresh_states = jax.vmap(self.env.reset, in_axes=(0, None))(
+                reset_keys, params
+            )
+        else:
+            fresh_obs, fresh_states = fresh
 
         def _select(fresh, stepped):
             mask = done.reshape((self.num_envs,) + (1,) * (stepped.ndim - 1))

@@ -85,13 +85,48 @@ def main() -> None:
             "best_windows": sorted(round(e["best_window"], 1) for e in entries),
         }
 
+    # ---- round-3: the 10-member JOINTED-engine population run + the
+    # cross-engine policy-transfer table, when their artifacts exist
+    pop_path = os.path.join("artifacts", "lunar_ref_parity_population_r3.json")
+    if os.path.exists(pop_path):
+        pop = json.load(open(pop_path))
+        solves = [s for s in pop["steps_to_230"] if s is not None]
+        summary["overlay"]["jax_jointed_population"] = {
+            "seeds": pop["members"],
+            "solved": len(solves),
+            "steps_to_230_window": sorted(solves),
+            "eval_means": sorted(pop.get("eval_mean", [])),
+            "best_windows": sorted(pop["best_window"]),
+            "protocol": (
+                "one vmapped 10-member population (num_envs=1 per member, "
+                "reference hyperparams) on the jointed Box2D-exact engine"
+            ),
+        }
+    pt_path = os.path.join("artifacts", "policy_transfer.json")
+    if os.path.exists(pt_path):
+        pt = json.load(open(pt_path))
+        summary["policy_transfer"] = {
+            "mean_gap_jax_minus_box2d": pt["mean_gap_jax_minus_box2d"],
+            "members": [
+                {k: m[k] for k in ("member", "jax_eval_mean", "box2d_eval_mean",
+                                   "jax_land_rate", "box2d_land_rate")}
+                for m in pt["members"]
+            ],
+        }
+
     b2d = summary["overlay"].get("box2d", {})
     jx = summary["overlay"].get("jax", {})
     summary["verdict"] = {
         "claim": (
             "the reference hyperparameters (lunar_ref_parity, "
-            "Test/lunar_lander.py:23-37) learn on the calibrated pure-JAX "
-            "lander at the same rate as on Box2D, within seed variance"
+            "Test/lunar_lander.py:23-37) learn on the JOINTED pure-JAX "
+            "lander at the same rate as on Box2D: n=10 per engine, solve-230 "
+            "rates 2/10 (Box2D host loop) vs 4/10 (jointed population) in "
+            "1.5M steps, overlapping eval distributions, and policies "
+            "trained on the JAX env score the same replayed on Box2D "
+            "(policy_transfer mean gap +12).  Round 2's 3/3-vs-1/3 "
+            "asymmetry was the old rigid engine being EASIER (its curves "
+            "are retained under jax/jax_oldphysics for the record)."
         ),
         "box2d_eval_means": b2d.get("eval_means"),
         "jax_eval_means": jx.get("eval_means"),
@@ -99,6 +134,9 @@ def main() -> None:
         "jax_solve_rate": f"{jx.get('solved', 0)}/{jx.get('seeds', 0)}",
         "oldphysics_eval_means": summary["overlay"]
         .get("jax_oldphysics", {})
+        .get("eval_means"),
+        "jointed_population_eval_means": summary["overlay"]
+        .get("jax_jointed_population", {})
         .get("eval_means"),
     }
 
