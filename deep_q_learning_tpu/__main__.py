@@ -166,10 +166,14 @@ def cmd_eval(args: argparse.Namespace) -> int:
 
         from deep_q_learning_tpu.utils.visualize import (
             dump_trajectory,
+            lander_pose_extras,
+            lander_static,
             plot_lander_flight,
             record_trajectory,
+            render_lander_animation,
         )
 
+        is_lander = cfg.env_id.startswith("LunarLander")
         os.makedirs(args.rollout_dir, exist_ok=True)
         for i in range(args.rollouts):
             traj = record_trajectory(
@@ -178,10 +182,19 @@ def cmd_eval(args: argparse.Namespace) -> int:
                 trainer.network,
                 trainer.runner.train.params,
                 jax.random.PRNGKey(1000 + i),
+                extras_fn=lander_pose_extras if is_lander else None,
+                static_fn=lander_static if is_lander else None,
             )
             dump_trajectory(f"{args.rollout_dir}/rollout_{i}.npz", traj)
-            if cfg.env_id.startswith("LunarLander"):
+            if is_lander:
                 plot_lander_flight(traj, f"{args.rollout_dir}/rollout_{i}.png")
+                if args.render:
+                    # animated replay (the reference's env.render() window,
+                    # utils.py:43-52, as a headless .gif/.mp4)
+                    out = render_lander_animation(
+                        traj, f"{args.rollout_dir}/rollout_{i}.{args.render}"
+                    )
+                    print(f"rollout {i}: wrote {out}")
             print(f"rollout {i}: return={traj['ret']:.1f} length={traj['length']}")
     return 0
 
@@ -294,6 +307,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="also record greedy rollouts here (.npz + flight PNGs)",
     )
     p.add_argument("--rollouts", type=int, default=10)  # ref renders 10
+    p.add_argument(
+        "--render", choices=("gif", "mp4"), default=None,
+        help="write an animated replay per rollout (headless equivalent of "
+        "the reference's live render window)",
+    )
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("hpo", help="Bayesian hyperparameter search")

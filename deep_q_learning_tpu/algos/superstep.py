@@ -210,6 +210,13 @@ def build_superstep(
             do_sync = env_step % hyper.target_sync_every == 0
             new_last = last_sync
         elif cfg.target_sync_mode == "episodes":
+            # Under the mesh the episode counter is per-shard; the sync
+            # predicate must be a GLOBAL decision or shards hard-copy target
+            # params at different steps and the replicated learner silently
+            # desyncs (VERDICT r3 weak #3).  psum makes the count — and hence
+            # do_sync and the stored last_sync — identical on every shard.
+            if axis_name is not None:
+                episodes = jax.lax.psum(episodes, axis_name)
             k = hyper.target_replace_episodes
             do_sync = (episodes // k) > (last_sync // k)
             new_last = jnp.where(do_sync, episodes, last_sync)
@@ -221,14 +228,17 @@ def build_superstep(
     def superstep(runner: RunnerState) -> Tuple[RunnerState, SuperstepMetrics]:
         # one auto-reset pool per call: the vmapped reset costs a physics
         # frame + terrain generation per env, so computing it per FRAME
-        # nearly doubled the env phase (see VectorEnv.step docstring)
+        # nearly doubled the env phase.  A per-env reset counter rolls the
+        # pool index on every reset occurrence so an env finishing twice in
+        # one K-frame window gets two different start states (ADVICE r3;
+        # see VectorEnv.step docstring)
         pool_rng, start_rng = jax.random.split(runner.rng)
         runner = runner.replace(rng=start_rng)
         with jax.named_scope("reset_pool"):
             fresh = venv.fresh_pool(pool_rng, env_params)
 
         def body(i, carry):
-            runner, loss_sum, loss_count, ep_delta, ret_delta = carry
+            runner, reset_count, loss_sum, loss_count, ep_delta, ret_delta = carry
             rng, action_key, env_key, train_key = jax.random.split(runner.rng, 4)
 
             # --- actor: ε-greedy on device --------------------------------
@@ -247,7 +257,7 @@ def build_superstep(
             with jax.named_scope("env_step"):
                 obs, env_states, transition = venv.step(
                     env_key, runner.env_states, actions, env_params,
-                    prev_obs=runner.obs, fresh=fresh,
+                    prev_obs=runner.obs, fresh=fresh, reset_count=reset_count,
                 )
             with jax.named_scope("replay_write"):
                 rstate = replay.add(runner.replay, transition)
@@ -301,6 +311,7 @@ def build_superstep(
             )
             return (
                 runner,
+                reset_count + done.astype(jnp.int32),
                 loss_sum + step_loss,
                 loss_count + step_count,
                 ep_delta,
@@ -309,12 +320,13 @@ def build_superstep(
 
         init = (
             runner,
+            jnp.zeros((num_envs,), jnp.int32),  # resets since pool draw
             jnp.float32(0.0),
             jnp.float32(0.0),
             jnp.int32(0),
             jnp.float32(0.0),
         )
-        runner, loss_sum, loss_count, ep_delta, ret_delta = jax.lax.fori_loop(
+        runner, _, loss_sum, loss_count, ep_delta, ret_delta = jax.lax.fori_loop(
             0, cfg.steps_per_superstep, body, init
         )
 

@@ -53,11 +53,14 @@ class DQNConfig:
     per_beta: float = 0.4
     per_eps: float = 1e-6
     # decay on the insertion-priority high-water mark per update step; 1.0 =
-    # the classic monotone max (sum-tree PER), <1.0 lets one outlier |td|
-    # stop dominating insertion priorities after the buffer has recycled
-    # (VERDICT r2 weak #5 — at 1024 envs a 1M buffer recycles in ~1s, so a
-    # monotone max pins EVERY future insert to the all-time outlier)
-    per_max_decay: float = 0.999
+    # the classic monotone max (sum-tree PER — the default, matching the
+    # solve-validated lunar_per recipe and the reference-parity posture),
+    # <1.0 lets one outlier |td| stop dominating insertion priorities after
+    # the buffer has recycled (VERDICT r2 weak #5 — at 1024 envs a 1M buffer
+    # recycles in ~1s, so a monotone max pins EVERY future insert to the
+    # all-time outlier).  High-env-count presets opt into 0.999
+    # (lunar_per_scaled); see ADVICE r3.
+    per_max_decay: float = 1.0
 
     # --- exploration ------------------------------------------------------
     eps_schedule: str = "exp_episode"  # "exp_episode" (ref) | "linear_step"
@@ -91,6 +94,10 @@ class DQNConfig:
     lander_engine: str = "jointed"
     lander_vel_iters: int = 180  # gym's world.Step(.., 6*30, 2*30)
     lander_pos_iters: int = 60
+    # solver-convergence early exit (envs/lander_solver.py): 0.0 = the
+    # Box2D-exact fixed-count loop; training presets set ~1e-6 for the
+    # within-envelope fast path (tests/test_lander_solver.py)
+    lander_vel_tol: float = 0.0
 
     def env_param_overrides(self) -> dict:
         """Param overrides for make_env (unknown fields are ignored there)."""
@@ -98,6 +105,7 @@ class DQNConfig:
             "jointed": self.lander_engine == "jointed",
             "vel_iters": self.lander_vel_iters,
             "pos_iters": self.lander_pos_iters,
+            "vel_tol": self.lander_vel_tol,
         }
 
     # --- termination / metrics -------------------------------------------
@@ -255,6 +263,38 @@ def lunar_per_scaled(num_envs: int = 1024) -> DQNConfig:
         target_tau=0.005 * train_every,
         eps_decay_steps=min(2_000_000, 300_000 * scale),
         buffer_capacity=max(1 << 19, num_envs * 64),
+        # buffer recycles in seconds at this env count: decay the insertion-
+        # priority high-water mark so one outlier |td| can't pin every insert
+        per_max_decay=0.999,
+    )
+
+
+def lunar_jointed_scaled(num_envs: int = 1024) -> DQNConfig:
+    """The FIDELITY engine at bench scale: ``lunar_per_scaled`` hyperparams
+    on the Box2D-exact jointed 3-body assembly (``envs/lander_solver.py``).
+
+    Solver iterations run at (120, 40) — frame-exact against gym's
+    (180, 60) on the touchdown-settle harness (tests/test_lander_solver.py:
+    the measured fidelity boundary is ~60 velocity iterations, below which
+    the leg joints give way under landing load), at ~1.5x the per-frame
+    solver cost of the gym counts."""
+    return dataclasses.replace(
+        lunar_per_scaled(num_envs),
+        lander_engine="jointed",
+        lander_vel_iters=120,
+        lander_pos_iters=40,
+    )
+
+
+def lunar_jointed_per() -> DQNConfig:
+    """Solving preset ON the fidelity engine (VERDICT r3 item 6): the
+    ``lunar_per`` recipe with the jointed 3-body physics.  Tuning notes in
+    artifacts/lunar_jointed_solve.json."""
+    return dataclasses.replace(
+        lunar_per(),
+        lander_engine="jointed",
+        lander_vel_iters=120,
+        lander_pos_iters=40,
     )
 
 
@@ -289,6 +329,12 @@ SHAPE_AFFECTING_FIELDS = (
     "compute_dtype",
     "use_pallas",
     "return_window",
+    # lander engine selection changes the traced program AND the env-state
+    # pytree structure (jointed adds leg bodies + solver accumulators)
+    "lander_engine",
+    "lander_vel_iters",
+    "lander_pos_iters",
+    "lander_vel_tol",
 )
 
 
@@ -318,5 +364,7 @@ PRESETS = {
     "lunar_dddqn_vector": lunar_dddqn_vector,
     "lunar_per": lunar_per,
     "lunar_per_scaled": lunar_per_scaled,
+    "lunar_jointed_scaled": lunar_jointed_scaled,
+    "lunar_jointed_per": lunar_jointed_per,
     "multihost_ddqn": multihost_ddqn,
 }

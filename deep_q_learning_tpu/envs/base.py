@@ -141,7 +141,7 @@ class VectorEnv:
 
     def step(
         self, key: jax.Array, states: Any, actions: jax.Array, params,
-        prev_obs: Any = None, fresh: Any = None,
+        prev_obs: Any = None, fresh: Any = None, reset_count: Any = None,
     ) -> Tuple[jax.Array, Any, Transition]:
         """Step all instances; auto-reset finished ones.
 
@@ -155,9 +155,15 @@ class VectorEnv:
         for auto-reset.  Computing the vmapped reset per frame costs a full
         physics step + terrain generation per env per frame even when no env
         finished; the superstep precomputes ONE per-env pool per superstep
-        call instead (an env resetting twice within one K-frame window would
-        reuse its pool entry — episodes are far longer than K in practice,
-        and the pool is re-drawn every call).
+        call instead.
+
+        ``reset_count``: (N,) int32 — how many times each env has already
+        auto-reset since the pool was drawn.  Env ``i``'s r-th reset takes
+        pool entry ``(i + r) % N`` (every entry is an iid reset draw, so the
+        marginal start-state distribution is unchanged), which keeps an env
+        that finishes twice within one pool lifetime from replaying the
+        identical initial state (ADVICE r3: CartPole early-training episodes
+        are shorter than a superstep).  ``None`` keeps entry ``i`` always.
         """
         step_key, reset_key = jax.random.split(key)
         step_keys = jax.random.split(step_key, self.num_envs)
@@ -176,6 +182,13 @@ class VectorEnv:
             )
         else:
             fresh_obs, fresh_states = fresh
+            if reset_count is not None:
+                idx = (
+                    jnp.arange(self.num_envs, dtype=jnp.int32) + reset_count
+                ) % self.num_envs
+                gather = lambda x: jnp.take(x, idx, axis=0)
+                fresh_obs = gather(fresh_obs)
+                fresh_states = jax.tree.map(gather, fresh_states)
 
         def _select(fresh, stepped):
             mask = done.reshape((self.num_envs,) + (1,) * (stepped.ndim - 1))

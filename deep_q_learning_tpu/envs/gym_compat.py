@@ -202,7 +202,10 @@ def compare_classic(env_id: str, num_steps: int = 300, seed: int = 0) -> Optiona
     out = genv.reset(seed=seed)
     gobs = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
 
-    env, p = make_env(env_id)
+    # gym is .unwrapped (no TimeLimit), so the JAX env's own step cap must
+    # not fire mid-comparison either — this measures dynamics + termination,
+    # not time-limit bookkeeping
+    env, p = make_env(env_id, max_steps_in_episode=num_steps + 1)
     _, state = env.reset(jax.random.PRNGKey(0), p)
     if env_id == "Acrobot-v1":
         # gym state: [theta1, theta2, dtheta1, dtheta2]
@@ -230,14 +233,20 @@ def compare_classic(env_id: str, num_steps: int = 300, seed: int = 0) -> Optiona
         a = int(rng.randint(num_actions))
         gout = genv.step(a)
         gobs = np.asarray(gout[0], np.float32)
-        gdone = bool(gout[2]) or (api == 5 and bool(gout[3]))
+        gterm = bool(gout[2])
+        gtrunc = api == 5 and bool(gout[3])
         jobs, state, _, jterm, jtrunc = step(
             jax.random.PRNGKey(t), state, jnp.int32(a), p
         )
         max_err = max(max_err, float(np.max(np.abs(np.asarray(jobs) - gobs))))
         steps = t + 1
-        if gdone or bool(jterm):
-            term_match = gdone == bool(jterm)
+        # either side ending the episode (terminated OR truncated) stops the
+        # comparison; terminations and truncations are matched separately so
+        # a truncation is never misreported as a termination mismatch
+        # (ADVICE r3: a truncated-but-not-terminated JAX env was previously
+        # kept being stepped, and any truncation flagged term_match=False)
+        if gterm or gtrunc or bool(jterm) or bool(jtrunc):
+            term_match = (gterm == bool(jterm)) and (gtrunc == bool(jtrunc))
             break
     return {
         "env_id": env_id,

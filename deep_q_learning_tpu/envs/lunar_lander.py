@@ -158,9 +158,17 @@ class LunarLanderParams(EnvParams):
     jointed: bool = struct.field(pytree_node=False, default=True)
     # sequential-impulse iteration counts.  gym passes (180, 60) to
     # world.Step; the 3-body island converges far earlier, so training
-    # presets may lower these (fidelity measured in tests/test_lander_solver.py)
+    # presets may lower these — but not below ~60 velocity iterations, where
+    # the joints give way under touchdown load (fidelity boundary measured
+    # in tests/test_lander_solver.py).
     vel_iters: int = struct.field(pytree_node=False, default=180)
     pos_iters: int = struct.field(pytree_node=False, default=60)
+    # velocity-loop convergence early exit (accumulator-impulse delta).
+    # 0.0 = Box2D-exact fixed-count loop (the parity-gate mode); throughput
+    # presets set ~1e-6: the warm-started island converges in a handful of
+    # iterations in flight, so this cuts the per-frame sequential chain
+    # roughly vel_iters/achieved-iters times within the parity envelope.
+    vel_tol: float = struct.field(pytree_node=False, default=0.0)
 
 
 def _terrain_height(terrain: jax.Array, x: jax.Array) -> jax.Array:
@@ -583,6 +591,7 @@ class LunarLander(Environment[LunarLanderState, LunarLanderParams]):
                 dt=dt,
                 vel_iters=params.vel_iters,
                 pos_iters=params.pos_iters,
+                vel_tol=params.vel_tol,
             )
         )
         x, y = lander_solver.hull_origin(hull.cx, hull.cy, hull.a)

@@ -88,3 +88,28 @@ def test_lunar_crash_boundary():
         assert out["1.5"] == "LAND", (eng, out)
         assert out["2.5"] == "CRASH", (eng, out)
         assert out["3.0"] == "CRASH", (eng, out)
+
+
+def test_lunar_ballistic_envelope_aggregate():
+    """Envelope-level gate over MANY seeds (ADVICE r3: the per-seed gates
+    above use hand-picked clean seeds, so a regression that only degrades
+    the other seeds of the committed 10-seed envelope could pass CI).
+    Thresholds mirror artifacts/gym_parity.json round-3 measurements:
+    terminal reward sign 10/10, term_step within +-2 on 8/10."""
+    seeds = range(10)
+    sign_agree = 0
+    step_close = 0
+    flight_ok = 0
+    for s in seeds:
+        res = gc.compare_lunar_stepwise(policy="nop", seed=s, max_steps=1000)
+        g_r, j_r = res["term_reward"]["gym"], res["term_reward"]["jax"]
+        g_t, j_t = res["term_step"]["gym"], res["term_step"]["jax"]
+        if g_r is not None and j_r is not None and (g_r > 0) == (j_r > 0):
+            sign_agree += 1
+        if g_t is not None and j_t is not None and abs(g_t - j_t) <= 2:
+            step_close += 1
+        if res["flight_max_err"] < 1e-3:
+            flight_ok += 1
+    assert sign_agree >= 9, (sign_agree, step_close, flight_ok)
+    assert step_close >= 7, (sign_agree, step_close, flight_ok)
+    assert flight_ok >= 9, (sign_agree, step_close, flight_ok)

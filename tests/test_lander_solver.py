@@ -1,0 +1,186 @@
+"""The measured-constant + solver-fidelity tests that envs/lander_solver.py
+and envs/lunar_lander.py docstrings cite (ADVICE r3: they were referenced but
+absent).
+
+Two layers:
+  * the body constants baked into ``lander_solver`` (masses, inertias, COM
+    offsets) are re-measured here by instantiating the REAL Box2D fixtures
+    (pybox2d 2.3.5, the engine gymnasium's LunarLander uses) and compared
+    against the module constants — including the b2Body::GetInertia trap
+    (it returns inertia about the body ORIGIN, the solver uses the COM
+    inertia; see lander_solver.py:70-76);
+  * solver fidelity: the jointed assembly settles standing on flat terrain
+    to the documented Box2D rest pose (relative joint angle ~0.3479 for
+    limits [0.4, 0.9] with referenceAngle = i*0.05), it does NOT sink or
+    splay (warm starting is load-bearing), and lowered iteration counts —
+    what throughput presets may use — keep the settle pose within the
+    envelope.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deep_q_learning_tpu.envs import lander_solver as ls
+from deep_q_learning_tpu.envs.lunar_lander import (
+    LunarLander,
+    LunarLanderParams,
+)
+
+SCALE = 30.0
+LANDER_POLY = [(-14, 17), (-17, 0), (-17, -10), (17, -10), (17, 0), (14, 17)]
+
+
+# --------------------------------------------------------------- constants
+def test_body_constants_match_pybox2d():
+    Box2D = pytest.importorskip("Box2D")
+    from Box2D.b2 import polygonShape, world as b2world
+
+    w = b2world(gravity=(0, -10))
+    hull = w.CreateDynamicBody(position=(0, 0))
+    hull.CreatePolygonFixture(
+        shape=polygonShape(
+            vertices=[(x / SCALE, y / SCALE) for x, y in LANDER_POLY]
+        ),
+        density=5.0,
+    )
+    assert hull.mass == pytest.approx(ls.HULL_M, rel=1e-6)
+    assert hull.localCenter.x == pytest.approx(ls.HULL_CX, abs=1e-6)
+    assert hull.localCenter.y == pytest.approx(ls.HULL_CY, rel=1e-6)
+    # THE TRAP: b2Body.inertia is about the body ORIGIN; the solver constant
+    # is about the COM (m_invI): I_com = I_origin - m |localCenter|^2
+    i_com = hull.inertia - hull.mass * (
+        hull.localCenter.x**2 + hull.localCenter.y**2
+    )
+    assert i_com == pytest.approx(ls.HULL_I, rel=1e-6)
+
+    leg = w.CreateDynamicBody(position=(0, 0))
+    leg.CreatePolygonFixture(
+        shape=polygonShape(box=(2.0 / SCALE, 8.0 / SCALE)), density=1.0
+    )
+    assert leg.mass == pytest.approx(ls.LEG_M, rel=1e-6)
+    assert leg.inertia == pytest.approx(ls.LEG_I, rel=1e-6)  # COM == origin
+
+
+def test_friction_mixing_constant():
+    # b2MixFriction = sqrt(leg 0.2 * ground 0.1)
+    assert ls.MU == pytest.approx(np.sqrt(0.2 * 0.1), rel=1e-6)
+
+
+# ------------------------------------------------------------- settle pose
+def _settle(vel_iters, pos_iters, frames=200, drop_v=-0.5):
+    """Drop a lander vertically onto flat terrain with engines off; return
+    the trajectory of (y, angle, rel_angle1, rel_angle2, vy) after each
+    frame plus the terminated flag.
+
+    The drop state is built in two phases: a short free-fall from reset lets
+    the motorized legs swing to their flight pose (the joints start 0.63 m
+    from their anchors at reset — real gym behavior), then the WHOLE
+    assembly (hull + legs + warm-start accumulators) is rigidly translated
+    to just above the pad with a small vertical speed.  Moving only the hull
+    would tear the joints apart and crash spuriously."""
+    env = LunarLander()
+    p = LunarLanderParams(
+        random_terrain=False,
+        jointed=True,
+        vel_iters=vel_iters,
+        pos_iters=pos_iters,
+        max_steps_in_episode=1000,
+    )
+    obs, state = env.reset(jax.random.PRNGKey(7), p)
+    step = jax.jit(env.step)
+    for t in range(25):  # flight-pose settle (legs reach the motor limit)
+        obs, state, r, term, trunc = step(
+            jax.random.PRNGKey(t), state, jnp.int32(0), p
+        )
+    assert not bool(term)
+    # rigid translate: hull to the pad approach point, legs keep their
+    # offsets/angles relative to the hull; all velocities -> (0, drop_v)
+    pad_y = float(0.99 * 13.333 / 4.0)  # smoothed helipad height
+    tx = jnp.float32(ls.W / 2) - state.x
+    ty = jnp.float32(pad_y + 0.75) - state.y
+
+    def move(b):
+        return b._replace(
+            cx=b.cx + tx, cy=b.cy + ty,
+            vx=jnp.float32(0.0), vy=jnp.float32(drop_v), w=jnp.float32(0.0),
+        )
+
+    state = state.replace(
+        x=state.x + tx,
+        y=state.y + ty,
+        vx=jnp.float32(0.0),
+        vy=jnp.float32(drop_v),
+        omega=jnp.float32(0.0),
+        leg1_body=move(state.leg1_body),
+        leg2_body=move(state.leg2_body),
+        sleep=jnp.int32(0),
+        t=jnp.int32(0),
+    )
+    traj = []
+    terminated = False
+    for t in range(frames):
+        obs, state, r, term, trunc = step(
+            jax.random.PRNGKey(100 + t), state, jnp.int32(0), p
+        )
+        rel1 = float(state.leg1_body.a - state.angle) + 0.05
+        rel2 = float(state.leg2_body.a - state.angle) - 0.05
+        traj.append(
+            (
+                float(state.y),
+                float(state.angle),
+                rel1,
+                rel2,
+                float(state.vy),
+                float(r),
+            )
+        )
+        if bool(term):
+            terminated = True
+            break
+    return traj, terminated, state
+
+
+def test_settle_rest_pose_and_no_sink():
+    """Standing lander: legs at the documented rest angle, hull neither
+    sinking nor splaying (warm starting is load-bearing — without it the
+    measured failure is ~0.6 m/s sink + splay to the opposite limit)."""
+    traj, terminated, state = _settle(180, 60, frames=120)
+    assert terminated, "soft vertical drop must come to rest (+100 sleep)"
+    # rest: the last frames are static
+    ys = [t[0] for t in traj[-10:]]
+    assert max(ys) - min(ys) < 1e-3, "hull sinking/bouncing at rest"
+    vys = [t[4] for t in traj[-10:]]
+    assert max(abs(v) for v in vys) < ls.LIN_SLEEP_TOL
+    # documented settle pose: |rel| ~ 0.3479 for BOTH legs (referenceAngle
+    # quirk: limits [0.4, 0.9] engage 0.05 late -> rest below 0.4)
+    rel1 = abs(traj[-1][2])
+    rel2 = abs(traj[-1][3])
+    for rel in (rel1, rel2):
+        assert 0.30 < rel < 0.42, (rel1, rel2)
+    assert traj[-1][5] == 100.0, "rest frame must pay the +100"
+
+
+def test_lowered_iterations_keep_settle_envelope():
+    """Throughput presets may lower (vel_iters, pos_iters) from gym's
+    (180, 60); the settle outcome (rest, pose, no sink) must be preserved
+    at the documented reduced counts.
+
+    Measured boundary (this harness, 0.5 m/s pad drop): (120, 40) is
+    frame-exact vs (180, 60); (90, 30) and (60, 20) land at the same pose
+    but reach the b2 sleep tolerance tens of frames later (residual solver
+    jitter); <= 45 velocity iterations CRASHES — the revolute point
+    constraint converges at ~1/30 per iteration (33x effective leg inertia,
+    lander_solver.py docstring), so the joints give way under touchdown
+    load.  Presets must stay >= 60; the supported fast path is the
+    convergence early-exit (``vel_tol``), not starved iteration counts."""
+    ref_traj, ref_term, _ = _settle(180, 60, frames=120)
+    low_traj, low_term, _ = _settle(120, 40, frames=120)
+    assert ref_term and low_term
+    # identical terminal semantics and near-identical rest pose
+    assert abs(len(ref_traj) - len(low_traj)) <= 6
+    for i in (2, 3):  # leg rest angles
+        assert abs(ref_traj[-1][i] - low_traj[-1][i]) < 0.03
+    assert abs(ref_traj[-1][0] - low_traj[-1][0]) < 5e-3  # rest height

@@ -103,3 +103,24 @@ def test_train_population_end_to_end():
     assert res["eval_mean"].shape == (2,)
     assert res["env_steps"] >= 512
     assert np.all(np.isfinite(res["eval_mean"]))
+
+
+def test_eval_env_matches_training_engine():
+    """Train and eval envs must share the physics engine / param overrides
+    (VERDICT r3 weak #2: a rigid-engine preset was silently eval'd on the
+    jointed default engine, contaminating every population artifact)."""
+    from deep_q_learning_tpu.parallel.population import PopulationTrainer
+
+    lunar = dataclasses.replace(
+        TINY,
+        env_id="LunarLander-v2",
+        time_fraction_obs=True,
+        max_steps_in_episode=64,
+        lander_engine="rigid",
+    )
+    trainer = PopulationTrainer(lunar, num_members=2, eval_envs=4)
+    assert trainer._eval_env_params.jointed is False
+    jointed = dataclasses.replace(lunar, lander_engine="jointed")
+    trainer2 = PopulationTrainer(jointed, num_members=2, eval_envs=4)
+    assert trainer2._eval_env_params.jointed is True
+    assert trainer2._eval_env_params.vel_iters == jointed.lander_vel_iters
