@@ -375,7 +375,10 @@ def mesh_main(shard_counts: list, preset: str = "cartpole") -> None:
         ),
     }
     os.makedirs(os.path.join(_REPO, "artifacts"), exist_ok=True)
-    with open(os.path.join(_REPO, "artifacts", "mesh_scaling.json"), "w") as f:
+    name = (
+        "mesh_scaling.json" if preset == "cartpole" else f"mesh_scaling_{preset}.json"
+    )
+    with open(os.path.join(_REPO, "artifacts", name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
@@ -421,27 +424,18 @@ def main() -> None:
     # masquerade as a regression.
     health = _timeboxed(0, 180, mode="--health") or {"healthy": False, "probe_s": None}
 
-    info = None
-    # large-config attempts, biggest first, then the reliably-fast small one
-    for num_envs, budget in ((131072, 420), (16384, 300)):
-        info = _timeboxed(num_envs, budget)
-        if info is not None:
-            break
-    if info is None:  # fallback: small config, reliably fast compile
-        info = run_bench(4096)
-
-    # LunarLander lines (physics + Pallas kernels; the jointed fidelity
-    # engine): warm-then-measure per VERDICT r3 item 1.  The warm child gets
-    # a LONG budget to absorb remote-compile variance and populate the AOT
-    # cache; the timed child then measures against a warm cache.  One retry
-    # each: a transient server-side stall must not null the line.
-    def warm_then_measure(num_envs: int, preset: str):
+    # Warm-then-measure protocol (VERDICT r3 item 1): for every headline
+    # config, a warm child with a LONG budget first populates the AOT
+    # executable cache and proves one real execution completes, then the
+    # timed child measures against the warm cache.  One retry each: a
+    # transient server-side stall must not null a line.
+    def warm_then_measure(num_envs: int, preset: str, measure_budget: int = 420):
         warm = _timeboxed(num_envs, 900, preset, mode="--warm")
         if warm is None:  # one retry (stall or cold-compile overrun)
             warm = _timeboxed(num_envs, 900, preset, mode="--warm")
-        result = _timeboxed(num_envs, 420, preset)
+        result = _timeboxed(num_envs, measure_budget, preset)
         if result is None:
-            result = _timeboxed(num_envs, 420, preset)
+            result = _timeboxed(num_envs, measure_budget, preset)
         if result is not None and not result.get("aot_warm", False):
             # fail loudly: a cold-cache measurement must never be recorded
             # as the headline (it would demote silently under the time-box)
@@ -449,6 +443,14 @@ def main() -> None:
                 f"WARNING: {preset}@{num_envs} measured with aot_warm=false\n"
             )
         return result
+
+    # cartpole headline, biggest config first with a warmed cache, then the
+    # reliably-fast fallbacks
+    info = warm_then_measure(131072, "cartpole")
+    if info is None:
+        info = _timeboxed(16384, 300)
+    if info is None:  # fallback: small config, reliably fast compile
+        info = run_bench(4096)
 
     lunar = warm_then_measure(1024, "lunar")
     jointed = warm_then_measure(1024, "lunar_jointed")
