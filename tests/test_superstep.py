@@ -140,3 +140,39 @@ def test_cartpole_learns_above_random():
             runner, m = step(runner)
             best = max(best, float(m.window_mean))
     assert best > 50.0, f"no learning signal: best window mean {best}"
+
+
+def test_reset_pool_occurrence_rolls():
+    """VectorEnv.step with a reset_count rolls each env's fresh-pool entry:
+    env i's r-th reset takes pool entry (i + r) % N, so an env finishing
+    twice within one pool lifetime gets two DIFFERENT start states
+    (ADVICE r3: the pool previously pinned entry i, duplicating start
+    states for short-episode workloads like CartPole early training)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_q_learning_tpu.envs import CartPole, VectorEnv
+
+    env = CartPole()
+    # max_steps=1: every step truncates -> every env auto-resets every frame
+    p = env.default_params().replace(max_steps_in_episode=1)
+    n = 4
+    venv = VectorEnv(env, n)
+    obs, states = venv.reset(jax.random.PRNGKey(0), p)
+    fresh = venv.fresh_pool(jax.random.PRNGKey(1), p)
+    actions = jnp.zeros((n,), jnp.int32)
+
+    def step_with(count):
+        o, s, tr = venv.step(
+            jax.random.PRNGKey(2), states, actions, p,
+            fresh=fresh, reset_count=jnp.full((n,), count, jnp.int32),
+        )
+        assert bool(tr.truncated.all())
+        return o
+
+    o0 = step_with(0)  # pool entries 0..3
+    o1 = step_with(1)  # pool entries 1,2,3,0
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(fresh[0]))
+    np.testing.assert_array_equal(
+        np.asarray(o1), np.roll(np.asarray(fresh[0]), -1, axis=0)
+    )
