@@ -95,11 +95,11 @@ def run_bench(num_envs: int, preset: str = "cartpole") -> dict:
     init_runner, superstep = build_superstep(
         venv, p, net, make_optimizer(cfg), replay, cfg
     )
-    runner = init_runner(jax.random.PRNGKey(0))
+    runner = jax.jit(init_runner)(jax.random.PRNGKey(0))  # jitted: eager init is minutes of small dispatches over the tunnel
     from deep_q_learning_tpu.utils import aot
 
     jitted = jax.jit(superstep, donate_argnums=0)
-    _, aot_warm = aot.cache_info(jitted, runner, cache_dir=_AOT_DIR)
+    cache_path, aot_warm = aot.cache_info(jitted, runner, cache_dir=_AOT_DIR)
     step = aot.load_or_compile(jitted, runner, cache_dir=_AOT_DIR)
 
     # warmup: compile + fill the buffer past training_start so the timed
@@ -123,6 +123,7 @@ def run_bench(num_envs: int, preset: str = "cartpole") -> dict:
         "num_envs": num_envs,
         "preset": preset,
         "aot_warm": aot_warm,
+        "cache_path": cache_path,
         "backend": jax.default_backend(),
     }
 
@@ -195,9 +196,9 @@ def warm_bench(num_envs: int, preset: str) -> dict:
     init_runner, superstep = build_superstep(
         venv, p, net, make_optimizer(cfg), replay, cfg
     )
-    runner = init_runner(jax.random.PRNGKey(0))
+    runner = jax.jit(init_runner)(jax.random.PRNGKey(0))  # jitted: eager init is minutes of small dispatches over the tunnel
     jitted = jax.jit(superstep, donate_argnums=0)
-    _, was_warm = aot.cache_info(jitted, runner, cache_dir=_AOT_DIR)
+    cache_path, was_warm = aot.cache_info(jitted, runner, cache_dir=_AOT_DIR)
     t0 = time.perf_counter()
     step = aot.load_or_compile(jitted, runner, cache_dir=_AOT_DIR)
     compile_s = time.perf_counter() - t0
@@ -212,6 +213,7 @@ def warm_bench(num_envs: int, preset: str) -> dict:
         "first_exec_s": round(exec_s, 1),
         "preset": preset,
         "num_envs": num_envs,
+        "cache_path": cache_path,
     }
 
 
@@ -253,7 +255,7 @@ def run_mesh_bench(n_shards: int, preset: str = "cartpole") -> dict:
         buffer_capacity=max(1 << 17, _MESH_ENVS_PER_SHARD * n_shards * 32),
     )
     init_runner, superstep, _ = build_distributed_superstep(cfg, mesh)
-    runner = init_runner(jax.random.PRNGKey(0))
+    runner = jax.jit(init_runner)(jax.random.PRNGKey(0))  # jitted: eager init is minutes of small dispatches over the tunnel
     step = jax.jit(superstep, donate_argnums=0)
 
     for _ in range(3):  # compile + buffer fill

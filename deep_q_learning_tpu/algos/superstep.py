@@ -226,19 +226,23 @@ def build_superstep(
         return train, new_last
 
     def superstep(runner: RunnerState) -> Tuple[RunnerState, SuperstepMetrics]:
-        # one auto-reset pool per call: the vmapped reset costs a physics
-        # frame + terrain generation per env, so computing it per FRAME
-        # nearly doubled the env phase.  A per-env reset counter rolls the
-        # pool index on every reset occurrence so an env finishing twice in
-        # one K-frame window gets two different start states (ADVICE r3;
-        # see VectorEnv.step docstring)
+        # Auto-reset source (ADVICE r3): cheap-reset envs (classic control)
+        # draw fresh states per FRAME via one bulk RNG call — exact
+        # semantics, consecutive resets always differ.  Physics-reset envs
+        # (the lander: terrain + one solver frame per entry) hoist ONE pool
+        # per superstep; an env finishing twice within the window replays
+        # its entry, which the lander's per-frame engine dispersion noise
+        # immediately decorrelates (VectorEnv.step docstring).
         pool_rng, start_rng = jax.random.split(runner.rng)
         runner = runner.replace(rng=start_rng)
-        with jax.named_scope("reset_pool"):
-            fresh = venv.fresh_pool(pool_rng, env_params)
+        if venv.env.batch_reset_cheap:
+            fresh = None
+        else:
+            with jax.named_scope("reset_pool"):
+                fresh = venv.fresh_pool(pool_rng, env_params)
 
         def body(i, carry):
-            runner, reset_count, loss_sum, loss_count, ep_delta, ret_delta = carry
+            runner, loss_sum, loss_count, ep_delta, ret_delta = carry
             rng, action_key, env_key, train_key = jax.random.split(runner.rng, 4)
 
             # --- actor: ε-greedy on device --------------------------------
@@ -257,7 +261,7 @@ def build_superstep(
             with jax.named_scope("env_step"):
                 obs, env_states, transition = venv.step(
                     env_key, runner.env_states, actions, env_params,
-                    prev_obs=runner.obs, fresh=fresh, reset_count=reset_count,
+                    prev_obs=runner.obs, fresh=fresh,
                 )
             with jax.named_scope("replay_write"):
                 rstate = replay.add(runner.replay, transition)
@@ -311,7 +315,6 @@ def build_superstep(
             )
             return (
                 runner,
-                reset_count + done.astype(jnp.int32),
                 loss_sum + step_loss,
                 loss_count + step_count,
                 ep_delta,
@@ -320,13 +323,12 @@ def build_superstep(
 
         init = (
             runner,
-            jnp.zeros((num_envs,), jnp.int32),  # resets since pool draw
             jnp.float32(0.0),
             jnp.float32(0.0),
             jnp.int32(0),
             jnp.float32(0.0),
         )
-        runner, _, loss_sum, loss_count, ep_delta, ret_delta = jax.lax.fori_loop(
+        runner, loss_sum, loss_count, ep_delta, ret_delta = jax.lax.fori_loop(
             0, cfg.steps_per_superstep, body, init
         )
 

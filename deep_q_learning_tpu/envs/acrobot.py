@@ -94,6 +94,18 @@ class Acrobot(Environment[AcrobotState, AcrobotParams]):
         )
         return self.get_obs(state, params), state
 
+    batch_reset_cheap = True
+
+    def reset_batch(self, key, n: int, params):
+        init = jax.random.uniform(key, (n, 4), minval=-0.1, maxval=0.1)
+        states = AcrobotState(
+            theta1=init[:, 0], theta2=init[:, 1],
+            dtheta1=init[:, 2], dtheta2=init[:, 3],
+            t=jnp.zeros((n,), jnp.int32),
+        )
+        obs = jax.vmap(self.get_obs, in_axes=(0, None))(states, params)
+        return obs, states
+
     def get_obs(self, state, params):
         return jnp.stack(
             [

@@ -74,6 +74,25 @@ class Environment(Generic[TEnvState, TEnvParams]):
         """Fresh episode. Returns (obs, state)."""
         raise NotImplementedError
 
+    # Whether ``reset_batch`` is cheap enough to run EVERY frame for the
+    # auto-reset path (a bulk-RNG draw, no physics).  Classic-control envs
+    # override this with True; envs whose reset runs real physics (the
+    # lander: terrain generation + one solver frame) keep the per-superstep
+    # pool instead (see VectorEnv.step / algos.superstep).
+    batch_reset_cheap: bool = False
+
+    def reset_batch(self, key: jax.Array, n: int, params: TEnvParams):
+        """``n`` fresh episodes at once. Returns batched (obs, states).
+
+        Default: vmap of ``reset_env`` over per-instance key splits.  Envs
+        with trivial reset distributions override this with ONE bulk RNG
+        draw — per-env threefry key hashing is the dominant cost of the
+        vmapped form, and a bulk draw makes per-frame auto-reset affordable
+        (ADVICE r3: a per-superstep pool replayed identical start states
+        when episodes are shorter than the superstep window)."""
+        keys = jax.random.split(key, n)
+        return jax.vmap(self.reset_env, in_axes=(0, None))(keys, params)
+
     def get_obs(self, state: TEnvState, params: TEnvParams) -> jax.Array:
         """Observation of ``state`` (pure; used to recover s_t without storing it)."""
         raise NotImplementedError
@@ -135,13 +154,15 @@ class VectorEnv:
 
     def fresh_pool(self, key: jax.Array, params):
         """Per-env reset pool for ``step(..., fresh=...)`` — computed once
-        per superstep call instead of per frame."""
+        per superstep call instead of per frame (for envs whose reset runs
+        real physics; cheap-reset envs skip the pool entirely, see
+        ``Environment.batch_reset_cheap``)."""
         keys = jax.random.split(key, self.num_envs)
         return jax.vmap(self.env.reset, in_axes=(0, None))(keys, params)
 
     def step(
         self, key: jax.Array, states: Any, actions: jax.Array, params,
-        prev_obs: Any = None, fresh: Any = None, reset_count: Any = None,
+        prev_obs: Any = None, fresh: Any = None,
     ) -> Tuple[jax.Array, Any, Transition]:
         """Step all instances; auto-reset finished ones.
 
@@ -151,19 +172,16 @@ class VectorEnv:
         ``prev_obs``: the current observations, if the caller already holds
         them (the superstep does) — skips recomputing get_obs per frame.
 
-        ``fresh``: optional precomputed ``(fresh_obs, fresh_states)`` pool
-        for auto-reset.  Computing the vmapped reset per frame costs a full
-        physics step + terrain generation per env per frame even when no env
-        finished; the superstep precomputes ONE per-env pool per superstep
-        call instead.
-
-        ``reset_count``: (N,) int32 — how many times each env has already
-        auto-reset since the pool was drawn.  Env ``i``'s r-th reset takes
-        pool entry ``(i + r) % N`` (every entry is an iid reset draw, so the
-        marginal start-state distribution is unchanged), which keeps an env
-        that finishes twice within one pool lifetime from replaying the
-        identical initial state (ADVICE r3: CartPole early-training episodes
-        are shorter than a superstep).  ``None`` keeps entry ``i`` always.
+        ``fresh``: optional precomputed reset pool (``fresh_pool``'s
+        ``(fresh_obs, fresh_states)``), consulted by entry: env ``i`` resets
+        into pool entry ``i``.  When None, fresh states come from
+        ``Environment.reset_batch`` — drawn EVERY frame, so consecutive
+        resets of one env always differ (the exact semantics; affordable
+        when ``batch_reset_cheap``).  Pool caveat: an env finishing twice
+        within one pool lifetime replays its pool entry; acceptable only
+        for envs whose episodes are long relative to the pool lifetime
+        and/or whose dynamics noise decorrelates repeated starts (the
+        lander's per-frame engine dispersion does; see algos.superstep).
         """
         step_key, reset_key = jax.random.split(key)
         step_keys = jax.random.split(step_key, self.num_envs)
@@ -176,19 +194,11 @@ class VectorEnv:
 
         done = jnp.logical_or(terminated, truncated)
         if fresh is None:
-            reset_keys = jax.random.split(reset_key, self.num_envs)
-            fresh_obs, fresh_states = jax.vmap(self.env.reset, in_axes=(0, None))(
-                reset_keys, params
+            fresh_obs, fresh_states = self.env.reset_batch(
+                reset_key, self.num_envs, params
             )
         else:
             fresh_obs, fresh_states = fresh
-            if reset_count is not None:
-                idx = (
-                    jnp.arange(self.num_envs, dtype=jnp.int32) + reset_count
-                ) % self.num_envs
-                gather = lambda x: jnp.take(x, idx, axis=0)
-                fresh_obs = gather(fresh_obs)
-                fresh_states = jax.tree.map(gather, fresh_states)
 
         def _select(fresh, stepped):
             mask = done.reshape((self.num_envs,) + (1,) * (stepped.ndim - 1))

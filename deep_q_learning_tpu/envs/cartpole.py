@@ -68,6 +68,22 @@ class CartPole(Environment[CartPoleState, CartPoleParams]):
         )
         return self.get_obs(state, params), state
 
+    # trivial reset distribution: one bulk draw replaces n key-splits, so
+    # per-frame auto-reset costs ~one uniform op (Environment.reset_batch)
+    batch_reset_cheap = True
+
+    def reset_batch(self, key: jax.Array, n: int, params: CartPoleParams):
+        init = jax.random.uniform(key, (n, 4), minval=-0.05, maxval=0.05)
+        states = CartPoleState(
+            x=init[:, 0],
+            x_dot=init[:, 1],
+            theta=init[:, 2],
+            theta_dot=init[:, 3],
+            t=jnp.zeros((n,), jnp.int32),
+        )
+        obs = jax.vmap(self.get_obs, in_axes=(0, None))(states, params)
+        return obs, states
+
     def get_obs(self, state: CartPoleState, params: CartPoleParams) -> jax.Array:
         return jnp.stack(
             [state.x, state.x_dot, state.theta, state.theta_dot]

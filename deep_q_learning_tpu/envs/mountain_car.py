@@ -52,6 +52,18 @@ class MountainCar(Environment[MountainCarState, MountainCarParams]):
         )
         return self.get_obs(state, params), state
 
+    batch_reset_cheap = True
+
+    def reset_batch(self, key, n: int, params):
+        pos = jax.random.uniform(key, (n,), minval=-0.6, maxval=-0.4)
+        states = MountainCarState(
+            position=pos,
+            velocity=jnp.zeros((n,), jnp.float32),
+            t=jnp.zeros((n,), jnp.int32),
+        )
+        obs = jax.vmap(self.get_obs, in_axes=(0, None))(states, params)
+        return obs, states
+
     def get_obs(self, state, params):
         return jnp.stack([state.position, state.velocity]).astype(jnp.float32)
 

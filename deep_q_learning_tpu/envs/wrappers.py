@@ -48,6 +48,14 @@ class WrappedEnv(Environment):
     def get_obs(self, state, params):
         return self.env.get_obs(state, params)
 
+    @property
+    def batch_reset_cheap(self) -> bool:
+        return self.env.batch_reset_cheap
+
+    def reset_batch(self, key, n: int, params):
+        obs, states = self.env.reset_batch(key, n, params)
+        return jax.vmap(self.get_obs, in_axes=(0, None))(states, params), states
+
 
 class TimeFractionObs(WrappedEnv):
     """Append ``t / max_steps`` to the observation (ref ``env.py:19-21``).

@@ -34,14 +34,56 @@ import jax
 log = logging.getLogger(__name__)
 
 
+_BACKEND_CFG_RE = None  # compiled lazily (keeps the import section lean)
+_KERNEL_DIGEST = None
+
+
+def _kernel_sources_digest() -> str:
+    """Digest of the Pallas kernel sources (ops/*.py).
+
+    The Mosaic kernel payloads embedded in the lowered StableHLO
+    (``backend_config`` base64 bodies) include the CALLER's function name and
+    source path in their debug metadata — so the same program lowered from
+    two different call sites (bench.py's run_bench vs warm_bench) hashes
+    differently, silently defeating cross-process cache reuse (observed
+    round 4: four distinct keys for one program).  Those payloads are
+    therefore stripped before hashing, and the kernel SOURCE files are
+    hashed instead so a real kernel edit still invalidates the cache."""
+    global _KERNEL_DIGEST
+    if _KERNEL_DIGEST is None:
+        import glob
+
+        import deep_q_learning_tpu.ops as ops_pkg
+
+        h = hashlib.sha256()
+        d = os.path.dirname(os.path.abspath(ops_pkg.__file__))
+        for p in sorted(glob.glob(os.path.join(d, "*.py"))):
+            with open(p, "rb") as f:
+                h.update(f.read())
+        _KERNEL_DIGEST = h.hexdigest()
+    return _KERNEL_DIGEST
+
+
 def _cache_key(lowered) -> str:
+    global _BACKEND_CFG_RE
+    if _BACKEND_CFG_RE is None:
+        import re
+
+        _BACKEND_CFG_RE = re.compile(r'backend_config = "[^"]*"')
     dev = jax.devices()[0]
+    txt = _BACKEND_CFG_RE.sub('backend_config = "<volatile:stripped>"',
+                              lowered.as_text())
+    dump = os.environ.get("DQL_AOT_DUMP")
+    if dump:  # debugging aid: inspect what actually got hashed
+        with open(dump, "w") as f:
+            f.write(txt)
     src = "\x00".join(
         [
             jax.__version__,
             jax.default_backend(),
             getattr(dev, "device_kind", str(dev)),
-            lowered.as_text(),
+            _kernel_sources_digest(),
+            txt,
         ]
     )
     return hashlib.sha256(src.encode()).hexdigest()[:32]

@@ -57,7 +57,7 @@ def build(cfg):
     net = QNetwork(num_actions=env.num_actions, hidden=cfg.hidden, dueling=cfg.dueling)
     replay = make_replay(cfg)
     init_runner, superstep = build_superstep(venv, p, net, make_optimizer(cfg), replay, cfg)
-    runner = init_runner(jax.random.PRNGKey(0))
+    runner = jax.jit(init_runner)(jax.random.PRNGKey(0))  # jitted: eager init is minutes of small dispatches over the tunnel
     t0 = time.perf_counter()
     step = aot.load_or_compile(
         jax.jit(superstep, donate_argnums=0), runner, cache_dir=AOT_DIR, verbose=True

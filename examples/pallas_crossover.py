@@ -54,7 +54,7 @@ def measure(cfg, reps: int = 3, inner: int = 20) -> float:
     init_runner, superstep = build_superstep(
         venv, p, net, make_optimizer(cfg), replay, cfg
     )
-    runner = init_runner(jax.random.PRNGKey(0))
+    runner = jax.jit(init_runner)(jax.random.PRNGKey(0))  # jitted: eager init is minutes of small dispatches over the tunnel
     step = aot.load_or_compile(
         jax.jit(superstep, donate_argnums=0), runner, cache_dir=AOT_DIR, verbose=True
     )

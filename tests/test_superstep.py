@@ -142,37 +142,36 @@ def test_cartpole_learns_above_random():
     assert best > 50.0, f"no learning signal: best window mean {best}"
 
 
-def test_reset_pool_occurrence_rolls():
-    """VectorEnv.step with a reset_count rolls each env's fresh-pool entry:
-    env i's r-th reset takes pool entry (i + r) % N, so an env finishing
-    twice within one pool lifetime gets two DIFFERENT start states
-    (ADVICE r3: the pool previously pinned entry i, duplicating start
-    states for short-episode workloads like CartPole early training)."""
+def test_cheap_reset_envs_draw_fresh_states_per_frame():
+    """ADVICE r3: an env finishing twice within one superstep must not
+    replay an identical start state.  Classic-control envs resolve this by
+    drawing fresh states per FRAME via one bulk RNG call
+    (Environment.reset_batch); with max_steps=1 every frame truncates, so
+    consecutive frames' post-reset observations must differ per env."""
     import jax
     import jax.numpy as jnp
 
     from deep_q_learning_tpu.envs import CartPole, VectorEnv
 
     env = CartPole()
-    # max_steps=1: every step truncates -> every env auto-resets every frame
+    assert env.batch_reset_cheap
     p = env.default_params().replace(max_steps_in_episode=1)
     n = 4
     venv = VectorEnv(env, n)
     obs, states = venv.reset(jax.random.PRNGKey(0), p)
-    fresh = venv.fresh_pool(jax.random.PRNGKey(1), p)
     actions = jnp.zeros((n,), jnp.int32)
-
-    def step_with(count):
-        o, s, tr = venv.step(
-            jax.random.PRNGKey(2), states, actions, p,
-            fresh=fresh, reset_count=jnp.full((n,), count, jnp.int32),
-        )
+    seen = []
+    key = jax.random.PRNGKey(2)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        obs, states, tr = venv.step(k, states, actions, p)
         assert bool(tr.truncated.all())
-        return o
+        seen.append(np.asarray(obs))
+    # consecutive post-reset states differ for every env
+    for a, b in ((0, 1), (1, 2), (0, 2)):
+        assert np.abs(seen[a] - seen[b]).max(axis=1).min() > 0.0
 
-    o0 = step_with(0)  # pool entries 0..3
-    o1 = step_with(1)  # pool entries 1,2,3,0
-    np.testing.assert_array_equal(np.asarray(o0), np.asarray(fresh[0]))
-    np.testing.assert_array_equal(
-        np.asarray(o1), np.roll(np.asarray(fresh[0]), -1, axis=0)
-    )
+    # bulk reset matches the per-key reset distribution support
+    bobs, bstates = env.reset_batch(jax.random.PRNGKey(3), 256, p)
+    assert bobs.shape == (256, 4)
+    assert float(jnp.abs(bobs).max()) <= 0.05
