@@ -252,7 +252,15 @@ def lunar_per_scaled(num_envs: int = 1024) -> DQNConfig:
     stream) and the exploration horizon scales with the env count (same
     per-env experience).  Uncompensated, batch-1024-every-4 peaks at window
     45; compensated it solves at 42M steps with greedy eval 203
-    (artifacts/lunar_per_scaled_solve.json)."""
+    (artifacts/lunar_per_scaled_solve.json).
+
+    Pallas crossover (measured r4, artifacts/pallas_crossover.json): the
+    fused TD+huber kernel and MXU PER sampler speed the whole superstep
+    1.38x at (128 envs, batch 256, train_every 1), 1.16x at (512, 512, 2),
+    1.00x at this preset's (1024, 1024, 4) — the win tracks the learner's
+    share of the frame, which the stretched cadence amortizes.  Pallas
+    stays ON here: it costs nothing at this shape and keeps kernel
+    regressions visible in the driver bench metric (VERDICT r1 item 8)."""
     scale = max(1, num_envs // 128)
     train_every = 4 if num_envs >= 512 else 1
     return dataclasses.replace(
