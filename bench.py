@@ -289,18 +289,20 @@ def _mesh_probe() -> dict:
 
 
 def _health_probe() -> dict:
-    """Child: one trivial matmul round-trip; healthy iff it returns fast.
-    (Observed: the axon service sometimes degrades to 30-60s for ANY
-    dispatch, or wedges first executions indefinitely — see CLAUDE.md.)"""
+    """Child: two trivial matmul round-trips; healthy iff the SECOND is
+    fast (the first pays one-time session init ~20-30s even when the
+    service is fine; a sick service is slow on every dispatch or wedges
+    first executions indefinitely — see CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
 
-    t0 = time.perf_counter()
     x = jnp.ones((1024, 1024))
-    float((x @ x).sum())
+    float((x @ x).sum())  # session init + compile
+    t0 = time.perf_counter()
+    float((x @ (x + 1.0)).sum())
     dt = time.perf_counter() - t0
     return {
-        "healthy": dt < 20.0,
+        "healthy": dt < 15.0,
         "probe_s": round(dt, 1),
         "backend": jax.default_backend(),
     }
