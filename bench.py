@@ -20,12 +20,15 @@ Self-describing (VERDICT r2 weak #3 / item 7): the JSON line carries
 ``aot_warm`` (did the measurement hit the on-disk executable cache), so a
 time-box fallback can never masquerade as the headline config.
 
-Robustness: the remote TPU compile service has high latency variance, so the
-preferred (large) configs run in time-boxed subprocesses; on timeout the
-benchmark falls back to a smaller config whose compile is reliably fast.
-Compiled executables are cached on disk (utils/aot.py), so reruns skip the
-compile service entirely.  Timing is against host-side scalar fetches (the
-tunnel's dispatch queue is async; see .claude/skills/verify).
+Robustness (r4, VERDICT r3 item 1 — warm-then-measure): for each headline
+config a warm child with a 900s budget populates the on-disk AOT executable
+cache (utils/aot.py) and proves ONE real execution completes (the remote
+service stalls the first execution of a new executable for minutes —
+compile itself is seconds), then a 420s timed child measures against the
+warm cache; a service-health probe (steady-dispatch timing) is reported in
+the JSON line so a sick service day is distinguishable from a regression.
+Timing is against host-side scalar fetches (the tunnel's dispatch queue is
+async; see .claude/skills/verify).
 
 Mesh scaling mode (VERDICT r2 item 6 — the harness that produces the
 BASELINE ">=80% scaling efficiency" number the day multi-chip hardware
@@ -33,6 +36,7 @@ appears):
 
     python bench.py --mesh            # weak-scaling sweep N in {1,2,4,8}
     python bench.py --mesh 1 2 4      # explicit shard counts
+    python bench.py --mesh --lunar    # physics+PER program instead of cartpole
 
 Each N runs the REAL distributed program (parallel/distributed.py: shard_map
 over an ("env",) mesh, replicated learner, in-graph psum/pmean metric
