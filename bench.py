@@ -430,7 +430,7 @@ def main() -> None:
     # matmul taking 36-60s).  A sick service makes every number below
     # meaningless, so measure and report it rather than letting a bad day
     # masquerade as a regression.
-    health = _timeboxed(0, 180, mode="--health") or {"healthy": False, "probe_s": None}
+    health = _timeboxed(0, 300, mode="--health") or {"healthy": None, "probe_s": None}
 
     # Warm-then-measure protocol (VERDICT r3 item 1): for every headline
     # config, a warm child with a LONG budget first populates the AOT
