@@ -103,8 +103,9 @@ def run_bench(num_envs: int, preset: str = "cartpole") -> dict:
     from deep_q_learning_tpu.utils import aot
 
     jitted = jax.jit(superstep, donate_argnums=0)
-    cache_path, aot_warm = aot.cache_info(jitted, runner, cache_dir=_AOT_DIR)
-    step = aot.load_or_compile(jitted, runner, cache_dir=_AOT_DIR)
+    salt = aot.config_salt(cfg)
+    cache_path, aot_warm = aot.cache_info(jitted, runner, cache_dir=_AOT_DIR, salt=salt)
+    step = aot.load_or_compile(jitted, runner, cache_dir=_AOT_DIR, salt=salt)
 
     # warmup: compile + fill the buffer past training_start so the timed
     # region runs the full learner path
@@ -202,9 +203,10 @@ def warm_bench(num_envs: int, preset: str) -> dict:
     )
     runner = jax.jit(init_runner)(jax.random.PRNGKey(0))  # jitted: eager init is minutes of small dispatches over the tunnel
     jitted = jax.jit(superstep, donate_argnums=0)
-    cache_path, was_warm = aot.cache_info(jitted, runner, cache_dir=_AOT_DIR)
+    salt = aot.config_salt(cfg)
+    cache_path, was_warm = aot.cache_info(jitted, runner, cache_dir=_AOT_DIR, salt=salt)
     t0 = time.perf_counter()
-    step = aot.load_or_compile(jitted, runner, cache_dir=_AOT_DIR)
+    step = aot.load_or_compile(jitted, runner, cache_dir=_AOT_DIR, salt=salt)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     runner, m = step(runner)

@@ -146,13 +146,14 @@ class Trainer:
             # the cross-process cache when this exact program was seen before)
             from deep_q_learning_tpu.utils import aot
 
+            salt = aot.config_salt(self.cfg)
             self._superstep = aot.load_or_compile(
                 self._superstep, self.runner,
-                cache_dir=self.aot_cache_dir, verbose=True,
+                cache_dir=self.aot_cache_dir, verbose=True, salt=salt,
             )
             self._evaluate = aot.load_or_compile(
                 self._evaluate, self.runner.train.params, jax.random.PRNGKey(0),
-                cache_dir=self.aot_cache_dir, verbose=True,
+                cache_dir=self.aot_cache_dir, verbose=True, salt=salt,
             )
             self._aot_loaded = True
         return self

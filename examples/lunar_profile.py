@@ -60,7 +60,8 @@ def build(cfg):
     runner = jax.jit(init_runner)(jax.random.PRNGKey(0))  # jitted: eager init is minutes of small dispatches over the tunnel
     t0 = time.perf_counter()
     step = aot.load_or_compile(
-        jax.jit(superstep, donate_argnums=0), runner, cache_dir=AOT_DIR, verbose=True
+        jax.jit(superstep, donate_argnums=0), runner, cache_dir=AOT_DIR,
+        verbose=True, salt=aot.config_salt(cfg),
     )
     compile_s = time.perf_counter() - t0
     return runner, step, cfg, compile_s

@@ -56,7 +56,8 @@ def measure(cfg, reps: int = 3, inner: int = 20) -> float:
     )
     runner = jax.jit(init_runner)(jax.random.PRNGKey(0))  # jitted: eager init is minutes of small dispatches over the tunnel
     step = aot.load_or_compile(
-        jax.jit(superstep, donate_argnums=0), runner, cache_dir=AOT_DIR, verbose=True
+        jax.jit(superstep, donate_argnums=0), runner, cache_dir=AOT_DIR,
+        verbose=True, salt=aot.config_salt(cfg),
     )
     for _ in range(4):  # warmup + buffer fill past training_start
         runner, m = step(runner)

@@ -48,6 +48,35 @@ def test_load_or_compile_roundtrip(tmp_path):
     assert len(_cache_files(d)) == 2
 
 
+def test_salt_separates_kernel_static_configs(tmp_path):
+    """ADVICE r4 (medium): cfg.double / cfg.huber_delta live ONLY inside the
+    stripped Mosaic backend_config payloads when use_pallas=True, so two
+    configs differing only there would alias to one cache entry.  The salt
+    must split them — and an identical salt must still share one entry."""
+    import dataclasses
+
+    d = str(tmp_path)
+
+    @jax.jit
+    def f(x):
+        return x * 2.0
+
+    x = jnp.ones((4,))
+    cfg_a = DQNConfig(use_pallas=True, double=True)
+    cfg_b = dataclasses.replace(cfg_a, double=False)
+    cfg_c = dataclasses.replace(cfg_a, huber_delta=2.0)
+    salts = {aot.config_salt(c) for c in (cfg_a, cfg_b, cfg_c)}
+    assert len(salts) == 3  # each kernel-static variant gets its own salt
+
+    for c in (cfg_a, cfg_b, cfg_c):
+        aot.load_or_compile(f, x, cache_dir=d, salt=aot.config_salt(c))
+    assert len(_cache_files(d)) == 3
+
+    # same salt, same program -> cache hit (no fourth entry)
+    aot.load_or_compile(f, x, cache_dir=d, salt=aot.config_salt(cfg_a))
+    assert len(_cache_files(d)) == 3
+
+
 def test_corrupt_cache_entry_recompiles(tmp_path):
     d = str(tmp_path)
 
