@@ -146,7 +146,8 @@ def cmd_eval(args: argparse.Namespace) -> int:
     cfg = build_config(args.preset, args.set or [])
     trainer = Trainer(cfg, workdir=args.workdir)
     trainer.restore(step=args.step)
-    rets, lengths = trainer.evaluate(seed=args.seed if args.seed is not None else 0)
+    ev = trainer.evaluate(seed=args.seed if args.seed is not None else 0)
+    rets, lengths = ev.returns, ev.lengths
     print(
         json.dumps(
             {

@@ -20,9 +20,12 @@ dependency; matches ``bayes_opt``'s functional surface for this use.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -255,8 +258,16 @@ def make_dqn_objective(
         if dynamic:
             tr.set_hyper(**dynamic)
         tr.train(max_env_steps=env_steps_per_trial, verbose=False)
-        rets, _ = tr.evaluate(seed=eval_seed)
-        return float(np.mean(rets))
+        ev = tr.evaluate(seed=eval_seed)
+        if ev.truncated.any():
+            # evaluator-cut episodes carry PARTIAL returns (EvalResult
+            # docstring); surface it rather than silently scoring them
+            log.warning(
+                "HPO objective: %d/%d eval episodes truncated at the "
+                "evaluator bound — returns are partial lower bounds",
+                int(ev.truncated.sum()), ev.truncated.size,
+            )
+        return float(np.mean(ev.returns))
 
     return objective
 

@@ -185,13 +185,16 @@ class PopulationTrainer:
             "env_steps": int(np.asarray(metrics.env_steps)[0]) * cfg.num_envs,
         }
         if eval_after:
-            rets, _ = self._evaluate(
+            ev = self._evaluate(
                 runner.train.params,
                 jax.random.split(
                     jax.random.PRNGKey(seed + 1), self.num_members
                 ),
             )
-            out["eval_mean"] = np.asarray(rets).mean(axis=1)
+            out["eval_mean"] = np.asarray(ev.returns).mean(axis=1)
+            # (K,) count of evaluator-cut episodes per member: nonzero means
+            # that member's eval_mean is a partial lower bound (EvalResult)
+            out["eval_truncated"] = np.asarray(ev.truncated).sum(axis=1)
         return out
 
 

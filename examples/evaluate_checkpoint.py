@@ -53,7 +53,7 @@ def main() -> None:
     evaluate = jax.jit(
         build_evaluator(venv, params_env, net, params_env.max_steps_in_episode)
     )
-    rets, lengths = evaluate(params, jax.random.PRNGKey(args.seed))
+    rets, lengths, _trunc = evaluate(params, jax.random.PRNGKey(args.seed))
     rets = np.asarray(rets)
     print(
         f"eval over {args.episodes} greedy episodes: mean={rets.mean():.1f} "

@@ -74,7 +74,7 @@ def main() -> None:
     for path in sorted(glob.glob(os.path.join(args.params_dir, "member_*.pickle"))):
         with open(path, "rb") as f:
             params = pickle.load(f)
-        jax_rets, _ = evaluator(params, jax.random.PRNGKey(args.seed))
+        jax_rets, _, _ = evaluator(params, jax.random.PRNGKey(args.seed))
         jax_rets = np.asarray(jax_rets)
 
         box_rets = []

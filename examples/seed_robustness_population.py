@@ -115,7 +115,7 @@ def main() -> None:
                             env_params.max_steps_in_episode)
         )
     )
-    eval_rets, _ = evaluator(
+    eval_rets, _, _ = evaluator(
         runner.train.params, jax.random.split(jax.random.PRNGKey(123), K)
     )
     eval_rets = np.asarray(eval_rets)  # (K, 20)

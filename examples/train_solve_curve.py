@@ -42,7 +42,7 @@ def main() -> None:
     tr.init(seed=args.seed)
     t0 = time.time()
     res = tr.train(max_env_steps=args.steps, log_every=args.log_every, verbose=True)
-    rets, lengths = tr.evaluate(seed=12345)
+    rets, lengths, _trunc = tr.evaluate(seed=12345)
     solved_at = None
     best_window = -np.inf
     for rec in res.history:

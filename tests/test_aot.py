@@ -131,5 +131,5 @@ def test_trainer_aot_cache(tmp_path):
     assert int(tr2.runner.train.updates) == 0
 
     # evaluation through the cached evaluator executable
-    rets, lengths = tr2.evaluate(seed=1)
+    rets, lengths, _trunc = tr2.evaluate(seed=1)
     assert rets.shape == lengths.shape and (rets >= 1).all()
