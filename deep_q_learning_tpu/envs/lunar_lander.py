@@ -19,8 +19,11 @@ implementation, ``gymnasium/envs/box2d/lunar_lander.py``):
     side-engine 17-vs-14 impulse-position quirk, the initial random force
     on reset, reset's internal nop step (the first observation already has
     one physics frame applied), wind/turbulence (v3's deterministic
-    tanh(sin) pattern gated on leg contact), and semi-implicit Euler
-    integration at dt = 1/50.
+    tanh(sin) pattern gated on leg contact — MEASURED r5 with phase-matched
+    counters: burn flights with wind ON track Box2D to 1.7e-5..8e-4 obs
+    units with exact terminal frames on 6/6 seeds, i.e. within the no-wind
+    envelope; gated in tests/test_gym_parity.py::test_lunar_wind_*), and
+    semi-implicit Euler integration at dt = 1/50.
 
   * **Measured from Box2D** (constants extracted by instantiating the real
     bodies; see docstring of each constant): hull mass 4.8167 (density 5 x

@@ -148,6 +148,15 @@ def main() -> None:
         )
         for s in range(10)
     ]
+    # wind/turbulence ON (VERDICT r4 missing #3): gymnasium v3's
+    # deterministic tanh(sin) pattern, phase-matched via injected counters
+    report["lunar_stepwise_wind"] = [
+        gc.compare_lunar_stepwise(
+            policy=pol, seed=s, enable_wind=True, max_steps=1000
+        )
+        for pol in ("nop", "burn")
+        for s in range(6)
+    ]
     report["lunar_task_level"] = gc.compare_lunar_task_level(episodes=20, seed=0)
     speeds = [0.5, 1.0, 1.5, 1.8, 2.0, 2.2, 2.5, 3.0, 4.0]
     report["impact_sweep"] = {

