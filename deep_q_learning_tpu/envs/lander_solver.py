@@ -144,13 +144,27 @@ def hull_origin(cx, cy, a):
 
 
 # --------------------------------------------------------------- terrain geom
+def _onehot_pick(vec, idx):
+    """``vec[..., idx]`` as a one-hot contraction over the last axis.
+
+    TPU-native replacement for a batched dynamic gather: under vmap a
+    ``vec[i0]`` with per-env indices lowers to an XLA gather, which the
+    ablation profile (artifacts/jointed_ablation.json) measured as ~70% of
+    the whole jointed frame (the terrain lookups in collide alone cost more
+    than the entire 120-iteration solver).  The one-hot form is pure
+    compare+multiply+reduce — VPU-shaped, fully fusable — and bit-identical
+    (the sum selects exactly one element; the rest contribute +0.0)."""
+    oh = (idx[..., None] == jnp.arange(vec.shape[-1])).astype(vec.dtype)
+    return jnp.sum(oh * vec, axis=-1)
+
+
 def _segment(terrain, x):
     """Supporting terrain segment under world x: (x1, h1, nx, ny) with the
     unit normal pointing up (edge fixtures run left->right)."""
     chunk_w = W / (CHUNKS - 1)
     i0 = jnp.clip(jnp.floor(x / chunk_w).astype(jnp.int32), 0, CHUNKS - 2)
-    h1 = terrain[i0]
-    h2 = terrain[i0 + 1]
+    h1 = _onehot_pick(terrain, i0)  # broadcasts over any point axes of i0
+    h2 = _onehot_pick(terrain, i0 + 1)
     dy = h2 - h1
     inv = 1.0 / jnp.sqrt(chunk_w * chunk_w + dy * dy)
     return i0, i0.astype(jnp.float32) * chunk_w, h1, -dy * inv, chunk_w * inv
@@ -241,7 +255,12 @@ def collide_leg(terrain, leg: Body) -> Tuple[LegContacts, jax.Array]:
     second = jnp.argmin(masked, axis=-1)
 
     def pick(arr, idx):
-        return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+        # one-hot contraction over the 4-corner axis (no TPU gather; see
+        # _onehot_pick).  idx dtype drives the compare; arr may be bool.
+        oh = idx[..., None] == jnp.arange(arr.shape[-1])
+        if arr.dtype == jnp.bool_:
+            return jnp.any(oh & arr, axis=-1)
+        return jnp.sum(oh.astype(arr.dtype) * arr, axis=-1)
 
     s1, s2 = pick(sep, first), pick(sep, second)
     c = LegContacts(
@@ -297,6 +316,7 @@ def assembly_step(
     vel_iters: int = VEL_ITERS,
     pos_iters: int = POS_ITERS,
     vel_tol: float = 0.0,
+    return_iters: bool = False,
 ):
     """One ``world.Step`` for the 3-body island.
 
@@ -586,11 +606,17 @@ def assembly_step(
         return (hvx, hvy, hw), (lvx, lvy, lw)
 
     def warm_contact_acc(c: LegContacts, stored):
-        p1 = stored[c.idx1]  # (2,) [normal, tangent]
-        p2 = stored[c.idx2]
+        # stored[(idx, :)] via one-hot over the 4-corner axis (see
+        # _onehot_pick: batched gathers dominate the frame cost on TPU)
+        oh1 = (c.idx1[..., None] == jnp.arange(4)).astype(jnp.float32)
+        oh2 = (c.idx2[..., None] == jnp.arange(4)).astype(jnp.float32)
+        p1 = jnp.sum(oh1[..., :, None] * stored, axis=-2)  # (2,)
+        p2 = jnp.sum(oh2[..., :, None] * stored, axis=-2)
         f1 = c.active1.astype(jnp.float32)
         f2 = c.active2.astype(jnp.float32)
-        return p1[0] * f1, p2[0] * f2, p1[1] * f1, p2[1] * f2
+        return (
+            p1[..., 0] * f1, p2[..., 0] * f2, p1[..., 1] * f1, p2[..., 1] * f2
+        )
 
     ca1_0 = warm_contact_acc(c1, acc.c1)
     ca2_0 = warm_contact_acc(c2, acc.c2)
@@ -619,15 +645,17 @@ def assembly_step(
 
     carry = (hv0, l1v0, l2v0, ja1_0, ja2_0, ca1_0, ca2_0)
     if vel_tol and vel_tol > 0.0:
-        # Convergence early exit: Box2D always runs all `vel_iters`, but the
-        # warm-started island usually converges in a handful of iterations
-        # (flight: the motor/limit impulses carry over verbatim; stance: the
-        # steady-state contact impulses persist).  Post-convergence
-        # iterations change the accumulators by < tol each with geometric
-        # decay, so exiting early stays within the measured parity envelope
-        # (tests/test_lander_solver.py) while cutting the sequential VPU
-        # chain ~5-20x on flight-heavy batches.  Off (0.0) by default; the
-        # parity gates run the exact fixed-count loop.
+        # Convergence early exit — single-env / research use ONLY, off (0.0)
+        # in every preset.  Measured r5 (artifacts/vel_tol_probe.json): the
+        # median training lane converges in 3-4 iterations, but ~25% of
+        # lanes show a CONSTANT per-iteration accumulator delta (~5e-4) that
+        # never decays — the joint motor's correction rate is <~0.1%/iter
+        # because b2's motorMass (k33 = IIH+IIL) underestimates the ~33x
+        # effective leg inertia about the anchor, and Box2D's own behavior
+        # (motor impulse accumulating linearly with iteration count) is what
+        # fidelity requires.  Under vmap the while_loop exits on the SLOWEST
+        # lane, so at training batch sizes this path is slower than the
+        # fixed loop (jointed_iters_sweep.json: 660k vs 835k steps/s).
         def tol_body(tc):
             st, _, it = tc
             new = vel_body(0, st)
@@ -640,24 +668,31 @@ def assembly_step(
             _, d, it = tc
             return (it < vel_iters) & ((it == 0) | (d >= vel_tol))
 
-        (hv, l1v, l2v, ja1, ja2, ca1, ca2), _, _ = jax.lax.while_loop(
+        (hv, l1v, l2v, ja1, ja2, ca1, ca2), _, used_iters = jax.lax.while_loop(
             tol_cond, tol_body, (carry, jnp.float32(jnp.inf), jnp.int32(0))
         )
     else:
         hv, l1v, l2v, ja1, ja2, ca1, ca2 = jax.lax.fori_loop(
             0, vel_iters, vel_body, carry
         )
+        used_iters = jnp.int32(vel_iters)
     hull = hull._replace(vx=hv[0], vy=hv[1], w=hv[2])
     leg1 = leg1._replace(vx=l1v[0], vy=l1v[1], w=l1v[2])
     leg2 = leg2._replace(vx=l2v[0], vy=l2v[1], w=l2v[2])
 
     # ---- store accumulators for the next frame's warm start
     def pack_contact(c: LegContacts, ca):
+        # scatter-free: idx1 != idx2 by construction (first/second deepest
+        # corners), so the two one-hot outer products write disjoint rows
         n1a, n2a, t1a, t2a = ca
-        base = jnp.zeros((4, 2), jnp.float32)
-        p1 = jnp.stack([n1a, t1a]) * c.active1.astype(jnp.float32)
-        p2 = jnp.stack([n2a, t2a]) * c.active2.astype(jnp.float32)
-        return base.at[c.idx1].set(p1).at[c.idx2].set(p2)
+        p1 = jnp.stack([n1a, t1a], -1) * c.active1.astype(jnp.float32)[..., None]
+        p2 = jnp.stack([n2a, t2a], -1) * c.active2.astype(jnp.float32)[..., None]
+        oh1 = (c.idx1[..., None] == jnp.arange(4)).astype(jnp.float32)
+        oh2 = (c.idx2[..., None] == jnp.arange(4)).astype(jnp.float32)
+        return (
+            oh1[..., :, None] * p1[..., None, :]
+            + oh2[..., :, None] * p2[..., None, :]
+        )
 
     new_acc = AssemblyAcc(
         j1=jnp.stack(list(ja1)),
@@ -805,4 +840,11 @@ def assembly_step(
         )
 
     still = sleepy(hull) & sleepy(leg1) & sleepy(leg2)
-    return hull, leg1, leg2, touch1, touch2, hull_hit, still, new_acc
+    out = (hull, leg1, leg2, touch1, touch2, hull_hit, still, new_acc)
+    if return_iters:
+        # diagnostics for the vel_tol fast path: velocity iterations actually
+        # run (== vel_iters on the fixed-count path).  Under vmap the
+        # while_loop carry is select-masked per lane, so this is the TRUE
+        # per-env count; the batch's frame cost is its max.
+        return out + (used_iters,)
+    return out

@@ -167,21 +167,26 @@ class LunarLanderParams(EnvParams):
     vel_iters: int = struct.field(pytree_node=False, default=180)
     pos_iters: int = struct.field(pytree_node=False, default=60)
     # velocity-loop convergence early exit (accumulator-impulse delta).
-    # 0.0 = Box2D-exact fixed-count loop (the parity-gate mode); throughput
-    # presets set ~1e-6: the warm-started island converges in a handful of
-    # iterations in flight, so this cuts the per-frame sequential chain
-    # roughly vel_iters/achieved-iters times within the parity envelope.
+    # 0.0 = Box2D-exact fixed-count loop (the parity-gate mode AND every
+    # preset).  The early exit is NOT a batch fast path: measured r5, ~25%
+    # of real-training lanes never converge below 1e-4 (the joint motor
+    # corrects <~0.1%/iteration), so the vmapped while_loop exits on the
+    # slowest lane and runs SLOWER than the fixed loop (config.py
+    # lander_vel_tol comment; artifacts/vel_tol_probe.json).
     vel_tol: float = struct.field(pytree_node=False, default=0.0)
 
 
 def _terrain_height(terrain: jax.Array, x: jax.Array) -> jax.Array:
-    """Piecewise-linear terrain height at world x (chunks span [0, W])."""
+    """Piecewise-linear terrain height at world x (chunks span [0, W]).
+
+    Lookup is a one-hot contraction, not an index gather — batched dynamic
+    gathers dominate frame cost on TPU (lander_solver._onehot_pick)."""
     chunk_w = W / (CHUNKS - 1)
     xi = jnp.clip(x / chunk_w, 0.0, CHUNKS - 1 - 1e-6)
     i0 = jnp.floor(xi).astype(jnp.int32)
     frac = xi - i0.astype(jnp.float32)
-    h0 = terrain[i0]
-    h1 = terrain[jnp.minimum(i0 + 1, CHUNKS - 1)]
+    h0 = lander_solver._onehot_pick(terrain, i0)
+    h1 = lander_solver._onehot_pick(terrain, jnp.minimum(i0 + 1, CHUNKS - 1))
     return h0 * (1.0 - frac) + h1 * frac
 
 

@@ -70,7 +70,7 @@ def test_friction_mixing_constant():
 
 
 # ------------------------------------------------------------- settle pose
-def _settle(vel_iters, pos_iters, frames=200, drop_v=-0.5):
+def _settle(vel_iters, pos_iters, frames=200, drop_v=-0.5, vel_tol=0.0):
     """Drop a lander vertically onto flat terrain with engines off; return
     the trajectory of (y, angle, rel_angle1, rel_angle2, vy) after each
     frame plus the terminated flag.
@@ -87,6 +87,7 @@ def _settle(vel_iters, pos_iters, frames=200, drop_v=-0.5):
         jointed=True,
         vel_iters=vel_iters,
         pos_iters=pos_iters,
+        vel_tol=vel_tol,
         max_steps_in_episode=1000,
     )
     obs, state = env.reset(jax.random.PRNGKey(7), p)
@@ -161,6 +162,24 @@ def test_settle_rest_pose_and_no_sink():
     for rel in (rel1, rel2):
         assert 0.30 < rel < 0.42, (rel1, rel2)
     assert traj[-1][5] == 100.0, "rest frame must pay the +100"
+
+
+def test_vel_tol_branch_keeps_settle_envelope():
+    """The convergence early-exit branch (vel_tol > 0 -> while_loop path)
+    must produce the same settle outcome as the fixed-count loop at a tight
+    tolerance (ADVICE r4: the branch was untested).  NOTE this validates
+    CORRECTNESS of the path only — as a batch fast path it is a measured
+    dead end (artifacts/vel_tol_probe.json: ~25% of training lanes carry a
+    non-decaying joint-motor delta, so the vmapped while_loop runs slower
+    than the fixed loop; no preset sets vel_tol)."""
+    ref_traj, ref_term, _ = _settle(120, 40, frames=120)
+    tol_traj, tol_term, _ = _settle(120, 40, frames=120, vel_tol=1e-7)
+    assert ref_term and tol_term
+    assert abs(len(ref_traj) - len(tol_traj)) <= 6
+    for i in (2, 3):  # leg rest angles
+        assert abs(ref_traj[-1][i] - tol_traj[-1][i]) < 0.03
+    assert abs(ref_traj[-1][0] - tol_traj[-1][0]) < 5e-3  # rest height
+    assert tol_traj[-1][5] == 100.0
 
 
 def test_lowered_iterations_keep_settle_envelope():
