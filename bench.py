@@ -439,12 +439,30 @@ def main() -> None:
     # executable cache and proves one real execution completes, then the
     # timed child measures against the warm cache.  One retry each: a
     # transient server-side stall must not null a line.
+    #
+    # Health-aware budgets (ADVICE r4): when the probe timed out or reported
+    # unhealthy, a wedged service would otherwise serially burn
+    # (900+900+420+420)s per config (~2h total) before printing nulls —
+    # shrink the budgets and drop the retries instead, and carry the warm
+    # child's compile/first-exec diagnostics into the final JSON line so
+    # stall-vs-regression is diagnosable from the artifact.
+    service_ok = health.get("healthy") is True
+    warm_budget = 900 if service_ok else 300
+    warm_diag = {}
+
     def warm_then_measure(num_envs: int, preset: str, measure_budget: int = 420):
-        warm = _timeboxed(num_envs, 900, preset, mode="--warm")
-        if warm is None:  # one retry (stall or cold-compile overrun)
-            warm = _timeboxed(num_envs, 900, preset, mode="--warm")
+        if not service_ok:
+            measure_budget = min(measure_budget, 240)
+        warm = _timeboxed(num_envs, warm_budget, preset, mode="--warm")
+        if warm is None and service_ok:  # one retry (stall/cold overrun)
+            warm = _timeboxed(num_envs, warm_budget, preset, mode="--warm")
+        warm_diag[preset] = (
+            {k: warm.get(k) for k in ("was_warm", "compile_s", "first_exec_s")}
+            if warm is not None
+            else {"warm_child": "timeout_or_failed", "budget_s": warm_budget}
+        )
         result = _timeboxed(num_envs, measure_budget, preset)
-        if result is None:
+        if result is None and service_ok:
             result = _timeboxed(num_envs, measure_budget, preset)
         if result is not None and not result.get("aot_warm", False):
             # fail loudly: a cold-cache measurement must never be recorded
@@ -486,6 +504,7 @@ def main() -> None:
                     round(jointed["value"]) if jointed is not None else None
                 ),
                 "lunar_jointed_aot_warm": jointed["aot_warm"] if jointed else None,
+                "warm_diagnostics": warm_diag,
             }
         )
     )
