@@ -80,12 +80,51 @@ def _scatter_completed_returns(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Write the returns of all envs that finished this step into the ring
     window (multiple completions per vector step supported: each finished env
-    gets its rank-among-finished as an offset from the cursor)."""
+    gets its rank-among-finished as an offset from the cursor).
+
+    Implementation note (round 5): a naive ``window.at[idx].set`` is an XLA
+    scatter with (potentially) colliding indices, which serializes on TPU —
+    measured ~680 µs per frame at 131072 envs / W=512, i.e. ~35% of the whole
+    cartpole superstep frame.  Two exact rewrites:
+
+    1. Only the LAST ``W`` completions (by rank) can survive the ring, and
+       restricted to those the target slots are UNIQUE — so "last writer
+       wins" scatter semantics reduce to a collision-free one-hot sum.
+    2. A flat (N, W) one-hot still materializes N·W elements (268 MB at the
+       headline shape).  Factor the slot as ``slot = b·W2 + a`` and contract
+       the two *residue* one-hots — (N, W2) and (N, W1) with W1·W2 ≥ W —
+       through a single MXU matmul ``(2·W1, N) @ (N, W2)`` that carries both
+       the written values and the write counts.  Cost scales with
+       N·(W2 + 2·W1) ≈ N·√W instead of N·W.
+
+    Measured at N=131072, W=512 on the v5e: scatter 679 µs, flat one-hot
+    matmul 143 µs, fused select-reduce 248 µs, this factorization 38 µs.
+    Final window contents are bit-identical to in-order scatter semantics."""
     w = window.shape[0]
-    rank = jnp.cumsum(done.astype(jnp.int32)) - 1
-    idx = jnp.where(done, (cursor + rank) % w, w)  # w = out of bounds -> drop
-    window = window.at[idx].set(returns, mode="drop")
-    num_done = jnp.sum(done.astype(jnp.int32))
+    done_i = done.astype(jnp.int32)
+    rank = jnp.cumsum(done_i) - 1  # rank among finished, in env order
+    num_done = jnp.sum(done_i)
+    # keep only the final w writers; their ring slots are then unique
+    sel = jnp.logical_and(done, rank >= num_done - w)
+    slot = jnp.where(sel, (cursor + rank) % w, 0)  # unselected: masked below
+    # factor w = w1*w2 (w2 ~ sqrt(2w), power of two; w1 = ceil(w/w2))
+    w2 = 1
+    while w2 * w2 < 2 * w:
+        w2 *= 2
+    w2 = min(w2, w)
+    w1 = -(-w // w2)
+    a = slot % w2  # (N,) minor residue
+    b = slot // w2  # (N,) major residue
+    onehot_a = (a[:, None] == jnp.arange(w2)[None, :]).astype(returns.dtype)
+    selm = sel.astype(returns.dtype)
+    onehot_b = (b[:, None] == jnp.arange(w1)[None, :]).astype(returns.dtype)
+    onehot_b = onehot_b * selm[:, None]  # (N, W1), zero rows for non-writers
+    # one matmul carries values (top W1 rows) and counts (bottom W1 rows)
+    packed = jnp.concatenate([onehot_b * returns[:, None], onehot_b], axis=1)
+    out = packed.T @ onehot_a  # (2*W1, W2)
+    written = out[:w1].reshape(w1 * w2)[:w]
+    wrote = out[w1:].reshape(w1 * w2)[:w] > 0.5
+    window = jnp.where(wrote, written, window)
     cursor = (cursor + num_done) % w
     filled = jnp.minimum(filled + num_done, w)
     return window, cursor, filled
@@ -161,12 +200,52 @@ def build_superstep(
         (ref gate: ``step % train_frequency == 0 and buffer.size >=
         training_start``, q_agent.py:186-187).  The cadence and warmup
         thresholds are traced (``hyper``), so they can change between calls
-        without recompiling."""
+        without recompiling.
+
+        TPU structural rule (round 5, measured): the ring storage must NEVER
+        appear inside the ``lax.cond`` — as operand OR closure capture — or
+        XLA inserts per-frame copies of the touched storage leaves to keep
+        the in-place ring write legal (~800 µs/frame at the 131072-env
+        cartpole headline, vs ~58 µs for the B-sized sample itself).  For the
+        common ``updates_per_step == 1`` case the sample/assemble gathers run
+        UNCONDITIONALLY outside the cond (harmless before warmup: the update
+        that would consume the garbage batch is skipped, and the samplers are
+        division-guarded), and the cond carries only the train state and the
+        replay's small learner-mutable view (PER priorities)."""
         # warmup gate in GLOBAL transitions: local filled * global env count
         do_train = jnp.logical_and(
             env_step % hyper.train_every == 0,
             (rstate.filled * global_envs) >= hyper.training_start,
         )
+
+        if cfg.updates_per_step == 1:
+            rng, sample_key = jax.random.split(rng)
+            batch, info, weights = replay.sample_with_info(
+                rstate, sample_key, cfg.batch_size,
+                gamma=hyper.gamma, beta=hyper.per_beta,
+            )
+
+            def run_one(args):
+                train, view = args
+                train2, loss, td_err = update(train, batch, weights, hyper)
+                rstate2 = replay.update_priorities(
+                    replay.with_learner_view(rstate, view), info, td_err
+                )
+                return (
+                    train2,
+                    replay.learner_view(rstate2),
+                    loss,
+                    jnp.float32(1.0),
+                )
+
+            def skip_one(args):
+                train, view = args
+                return train, view, jnp.float32(0.0), jnp.float32(0.0)
+
+            train, view, loss_sum, count = jax.lax.cond(
+                do_train, run_one, skip_one, (train, replay.learner_view(rstate))
+            )
+            return train, replay.with_learner_view(rstate, view), loss_sum, count
 
         def run_updates(args):
             rng, train, rstate = args
@@ -183,13 +262,15 @@ def build_superstep(
                 rstate = replay.update_priorities(rstate, info, td_err)
                 return rng, train, rstate, loss_sum + loss
 
+            # updates_per_step > 1 only: each update samples against the
+            # PREVIOUS update's refreshed priorities, so the full replay
+            # state threads through the loop and the cond (and pays the
+            # storage-copy tax documented above — acceptable off the
+            # headline path; no preset sets updates_per_step > 1).
             init = (rng, train, rstate, jnp.float32(0.0))
-            if cfg.updates_per_step == 1:  # common case: skip the loop layer
-                rng, train, rstate, loss_sum = one(0, init)
-            else:
-                rng, train, rstate, loss_sum = jax.lax.fori_loop(
-                    0, cfg.updates_per_step, one, init
-                )
+            rng, train, rstate, loss_sum = jax.lax.fori_loop(
+                0, cfg.updates_per_step, one, init
+            )
             return train, rstate, loss_sum, jnp.float32(cfg.updates_per_step)
 
         def skip(args):

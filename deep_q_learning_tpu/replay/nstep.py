@@ -67,9 +67,12 @@ def assemble_learn_batch(
     win = jnp.mod(slot_idx[:, None] + offsets[None, :], capacity)
     env2 = jnp.broadcast_to(env_idx[:, None], (b, n_step))
 
-    rewards = storage.reward[env2, win]  # (B, n)
-    term = storage.terminated[env2, win].astype(jnp.float32)
-    trunc = storage.truncated[env2, win].astype(jnp.float32)
+    # scalar fields carry a trailing singleton axis (replay/uniform.py
+    # layout rule: rank-3 leaves keep XLA from inserting per-frame
+    # layout-conversion copies of the ring inside the training loop)
+    rewards = storage.reward[env2, win, 0]  # (B, n)
+    term = storage.terminated[env2, win, 0].astype(jnp.float32)
+    trunc = storage.truncated[env2, win, 0].astype(jnp.float32)
     stop = jnp.clip(term + trunc, 0.0, 1.0)
 
     # alive_k = 1 iff no stop among transitions 0..k-1 (the stopping
@@ -97,7 +100,7 @@ def assemble_learn_batch(
 
     return LearnBatch(
         obs=storage.obs[env_idx, slot_idx],
-        action=storage.action[env_idx, slot_idx],
+        action=storage.action[env_idx, slot_idx, 0],
         reward=g.astype(jnp.float32),
         next_obs=storage.next_obs[env_idx, last_slot],
         bootstrap=bootstrap.astype(jnp.float32),

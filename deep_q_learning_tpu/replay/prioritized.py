@@ -88,10 +88,13 @@ class PrioritizedReplay:
 
     # ----------------------------------------------------------------- init
     def init(self, example: Transition) -> PrioritizedReplayState:
+        # scalar leaves get a trailing singleton axis — see the layout rule
+        # in replay/uniform.py (avoids per-frame layout-conversion copies)
         def alloc(leaf):
             assert leaf.shape[0] == self.num_envs
+            feat = leaf.shape[1:] or (1,)
             return jnp.zeros(
-                (self.num_envs, self.capacity_per_env) + leaf.shape[1:], leaf.dtype
+                (self.num_envs, self.capacity_per_env) + feat, leaf.dtype
             )
 
         return PrioritizedReplayState(
@@ -107,6 +110,8 @@ class PrioritizedReplay:
         self, state: PrioritizedReplayState, transition: Transition
     ) -> PrioritizedReplayState:
         def write(buf, item):
+            if item.ndim == 1:  # scalar field -> (N, 1) (layout rule)
+                item = item[:, None]
             return jax.lax.dynamic_update_slice_in_dim(
                 buf, item[:, None], state.cursor, axis=1
             )
@@ -222,6 +227,18 @@ class PrioritizedReplay:
 
     def can_sample(self, state: PrioritizedReplayState, min_transitions: int) -> jax.Array:
         return (state.filled * self.num_envs) >= min_transitions
+
+    # ----------------------------------------------- learner-mutable view
+    # See UniformReplay.learner_view: only these fields may appear in the
+    # superstep's learner lax.cond; the ring storage must stay outside it.
+    def learner_view(self, state: PrioritizedReplayState):
+        return (state.priorities, state.max_priority)
+
+    def with_learner_view(
+        self, state: PrioritizedReplayState, view
+    ) -> PrioritizedReplayState:
+        priorities, max_priority = view
+        return state.replace(priorities=priorities, max_priority=max_priority)
 
     # -------------------------------------------------- mesh-sharding mapping
     def shard_specs(self, example: PrioritizedReplayState, env_axis: str):

@@ -13,6 +13,17 @@ fused into the jitted actor step).  Sampling draws (env, slot) pairs with
 ``jax.random`` on device — with replacement, matching the reference sampler's
 semantics.  The leading ``num_envs`` axis is the mesh's "env" axis, so the
 buffer shards with the envs and sampling stays shard-local.
+
+Layout rule (round 5, measured on the v5e): every storage leaf is kept
+RANK-3 — scalar fields (action/reward/terminated/truncated) are stored
+``(num_envs, capacity, 1)``, not ``(num_envs, capacity)``.  For rank-3
+leaves XLA's layout assignment picks ``{0,2,1}`` (env axis on the 128
+lanes), which serves BOTH the per-frame ring write and the sample-time
+gathers with zero conversions.  Rank-2 ``(N, C)`` leaves instead get
+``{1,0}`` for the write and ``{0,1}`` for the gathers, and XLA reconciles
+the two with per-frame 33 MB layout-conversion copies inside the training
+loop — measured ~800 µs/frame at the 131072-env cartpole headline, ~4×
+the cost of everything else in the frame combined.
 """
 
 from __future__ import annotations
@@ -78,15 +89,17 @@ class UniformReplay:
     # ----------------------------------------------------------------- init
     def init(self, example: Transition) -> ReplayState:
         """Allocate zeroed storage from one example batched transition
-        (leaves ``(num_envs, ...)``); only shapes/dtypes of leaves are used."""
+        (leaves ``(num_envs, ...)``); only shapes/dtypes of leaves are used.
+        Scalar leaves get a trailing singleton axis (module layout rule)."""
 
         def alloc(leaf: jax.Array) -> jax.Array:
             assert leaf.shape[0] == self.num_envs, (
                 f"example leaf must be batched (num_envs={self.num_envs}), "
                 f"got shape {leaf.shape}"
             )
+            feat = leaf.shape[1:] or (1,)
             return jnp.zeros(
-                (self.num_envs, self.capacity_per_env) + leaf.shape[1:], leaf.dtype
+                (self.num_envs, self.capacity_per_env) + feat, leaf.dtype
             )
 
         storage = jax.tree.map(alloc, example)
@@ -101,6 +114,8 @@ class UniformReplay:
         ``counter % size``, replay_buffer.py:37-40)."""
 
         def write(buf: jax.Array, item: jax.Array) -> jax.Array:
+            if item.ndim == 1:  # scalar field -> (N, 1) (module layout rule)
+                item = item[:, None]
             return jax.lax.dynamic_update_slice_in_dim(
                 buf, item[:, None], state.cursor, axis=1
             )
@@ -121,7 +136,16 @@ class UniformReplay:
         slot_idx = jax.random.randint(
             slot_key, (batch_size,), 0, jnp.maximum(state.filled, 1)
         )
-        return jax.tree.map(lambda buf: buf[env_idx, slot_idx], state.storage)
+        s = state.storage
+        take = lambda buf: buf[env_idx, slot_idx]
+        return Transition(  # scalar fields drop the layout-rule trailing axis
+            obs=take(s.obs),
+            action=take(s.action)[..., 0],
+            reward=take(s.reward)[..., 0],
+            next_obs=take(s.next_obs),
+            terminated=take(s.terminated)[..., 0],
+            truncated=take(s.truncated)[..., 0],
+        )
 
     def can_sample(self, state: ReplayState, min_transitions: int) -> jax.Array:
         """True once at least ``min_transitions`` total transitions are stored
@@ -156,6 +180,19 @@ class UniformReplay:
 
     def update_priorities(self, state: ReplayState, info, td_errors) -> ReplayState:
         return state  # uniform replay has no priorities
+
+    # ----------------------------------------------- learner-mutable view
+    # The superstep's learner lax.cond must only carry what the learner can
+    # WRITE: if the ring storage appears inside a cond branch (operand or
+    # closure), XLA copies the touched leaves every frame to keep the
+    # in-place ring write legal — measured ~800 µs/frame at the cartpole
+    # headline shape (algos/superstep.py::_maybe_train).
+    def learner_view(self, state: ReplayState):
+        """Pytree of the fields the learner may mutate (uniform: none)."""
+        return ()
+
+    def with_learner_view(self, state: ReplayState, view) -> ReplayState:
+        return state
 
     # -------------------------------------------------- mesh-sharding mapping
     def shard_specs(self, example: ReplayState, env_axis: str):

@@ -31,6 +31,32 @@ def test_scatter_completed_returns_multiple_dones():
     assert int(cur2) == 1 and int(filled2) == 4
 
 
+def test_scatter_matches_inorder_reference():
+    """The factored one-hot contraction must be bit-identical to an in-order
+    host scatter loop, including frames where num_done exceeds the window
+    (ring wraps within one frame) and odd window sizes."""
+    rng = np.random.default_rng(0)
+    for w_size, n in [(4, 32), (7, 64), (50, 256), (16, 8)]:
+        window = jnp.zeros((w_size,))
+        cursor, filled = jnp.int32(0), jnp.int32(0)
+        ref_win = np.zeros(w_size)
+        ref_cur = ref_fill = 0
+        for frame in range(5):
+            p_done = [0.1, 0.5, 0.9, 1.0, 0.3][frame]  # incl. all-done frames
+            done = rng.random(n) < p_done
+            rets = rng.normal(size=n).astype(np.float32)
+            window, cursor, filled = _scatter_completed_returns(
+                window, cursor, filled, jnp.asarray(done), jnp.asarray(rets)
+            )
+            for i in np.flatnonzero(done):  # in-order host reference
+                ref_win[ref_cur % w_size] = rets[i]
+                ref_cur += 1
+                ref_fill = min(ref_fill + 1, w_size)
+            ref_cur_mod = ref_cur % w_size
+            np.testing.assert_array_equal(np.asarray(window), ref_win)
+            assert int(cursor) == ref_cur_mod and int(filled) == ref_fill
+
+
 def _build(cfg):
     env = CartPole()
     params = env.default_params()
