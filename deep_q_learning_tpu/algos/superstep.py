@@ -211,14 +211,24 @@ def build_superstep(
         UNCONDITIONALLY outside the cond (harmless before warmup: the update
         that would consume the garbage batch is skipped, and the samplers are
         division-guarded), and the cond carries only the train state and the
-        replay's small learner-mutable view (PER priorities)."""
+        replay's small learner-mutable view (PER priorities).
+
+        The hoisted structure is only profitable when the learner actually
+        runs every frame: with cfg.train_every > 1 the unconditional
+        sample/assemble is pure waste on skipped frames (measured: it
+        regressed lunar_per_scaled@1024 2.8M -> 1.6M env-steps/s, whose PER
+        sample is ~250 µs/frame at train_every=4), and at those presets'
+        shapes XLA picks non-conflicting layouts so the cond path is cheap.
+        The structure choice keys on the STATIC cfg.train_every; a runtime
+        hyper.train_every override stays correct on either path (do_train
+        honors the traced value), it just may not pick the fastest one."""
         # warmup gate in GLOBAL transitions: local filled * global env count
         do_train = jnp.logical_and(
             env_step % hyper.train_every == 0,
             (rstate.filled * global_envs) >= hyper.training_start,
         )
 
-        if cfg.updates_per_step == 1:
+        if cfg.updates_per_step == 1 and cfg.train_every == 1:
             rng, sample_key = jax.random.split(rng)
             batch, info, weights = replay.sample_with_info(
                 rstate, sample_key, cfg.batch_size,

@@ -58,8 +58,11 @@ def assemble_learn_batch(
     n_step: int,
     truncation_bootstrap: bool,
 ) -> LearnBatch:
-    """Gather the n-slot forward windows and fold them into a LearnBatch."""
-    capacity = storage.action.shape[1]
+    """Gather the n-slot forward windows and fold them into a LearnBatch.
+
+    Storage is slot-major — leaves ``(capacity, num_envs, ...)``, see
+    replay/uniform.py — so all gathers index ``[slot, env]``."""
+    capacity = storage.action.shape[0]
     b = env_idx.shape[0]
 
     # (B, n) window slots along the capacity axis
@@ -67,12 +70,9 @@ def assemble_learn_batch(
     win = jnp.mod(slot_idx[:, None] + offsets[None, :], capacity)
     env2 = jnp.broadcast_to(env_idx[:, None], (b, n_step))
 
-    # scalar fields carry a trailing singleton axis (replay/uniform.py
-    # layout rule: rank-3 leaves keep XLA from inserting per-frame
-    # layout-conversion copies of the ring inside the training loop)
-    rewards = storage.reward[env2, win, 0]  # (B, n)
-    term = storage.terminated[env2, win, 0].astype(jnp.float32)
-    trunc = storage.truncated[env2, win, 0].astype(jnp.float32)
+    rewards = storage.reward[win, env2]  # (B, n)
+    term = storage.terminated[win, env2].astype(jnp.float32)
+    trunc = storage.truncated[win, env2].astype(jnp.float32)
     stop = jnp.clip(term + trunc, 0.0, 1.0)
 
     # alive_k = 1 iff no stop among transitions 0..k-1 (the stopping
@@ -99,9 +99,9 @@ def assemble_learn_batch(
     bootstrap = (gamma**k) * nonterm
 
     return LearnBatch(
-        obs=storage.obs[env_idx, slot_idx],
-        action=storage.action[env_idx, slot_idx, 0],
+        obs=storage.obs[slot_idx, env_idx],
+        action=storage.action[slot_idx, env_idx],
         reward=g.astype(jnp.float32),
-        next_obs=storage.next_obs[env_idx, last_slot],
+        next_obs=storage.next_obs[last_slot, env_idx],
         bootstrap=bootstrap.astype(jnp.float32),
     )

@@ -30,7 +30,7 @@ from deep_q_learning_tpu.replay.uniform import ReplayState
 
 @struct.dataclass
 class PrioritizedReplayState:
-    storage: Transition  # leaves (N, C, ...)
+    storage: Transition  # slot-major leaves (C, N, ...) — see replay/uniform.py
     priorities: jax.Array  # (N, C) f32, already exponentiated by alpha
     max_priority: jax.Array  # scalar f32 (pre-alpha magnitude)
     cursor: jax.Array
@@ -38,11 +38,11 @@ class PrioritizedReplayState:
 
     @property
     def capacity_per_env(self) -> int:
-        return self.storage.action.shape[1]
+        return self.storage.action.shape[0]
 
     @property
     def num_envs(self) -> int:
-        return self.storage.action.shape[0]
+        return self.storage.action.shape[1]
 
     @property
     def filled(self) -> jax.Array:
@@ -88,13 +88,14 @@ class PrioritizedReplay:
 
     # ----------------------------------------------------------------- init
     def init(self, example: Transition) -> PrioritizedReplayState:
-        # scalar leaves get a trailing singleton axis — see the layout rule
-        # in replay/uniform.py (avoids per-frame layout-conversion copies)
+        # slot-major storage — see the layout note in replay/uniform.py.
+        # priorities stay env-major (N, C): they are reduced/cumsum'd along
+        # the slot axis at sample time (and the Pallas sampling kernel's
+        # operand contract is (N, C)); their per-frame column write is tiny.
         def alloc(leaf):
             assert leaf.shape[0] == self.num_envs
-            feat = leaf.shape[1:] or (1,)
             return jnp.zeros(
-                (self.num_envs, self.capacity_per_env) + feat, leaf.dtype
+                (self.capacity_per_env,) + leaf.shape, leaf.dtype
             )
 
         return PrioritizedReplayState(
@@ -110,10 +111,8 @@ class PrioritizedReplay:
         self, state: PrioritizedReplayState, transition: Transition
     ) -> PrioritizedReplayState:
         def write(buf, item):
-            if item.ndim == 1:  # scalar field -> (N, 1) (layout rule)
-                item = item[:, None]
             return jax.lax.dynamic_update_slice_in_dim(
-                buf, item[:, None], state.cursor, axis=1
+                buf, item[None], state.cursor, axis=0
             )
 
         storage = jax.tree.map(write, state.storage, transition)
@@ -245,7 +244,7 @@ class PrioritizedReplay:
         from jax.sharding import PartitionSpec as P
 
         return PrioritizedReplayState(
-            storage=jax.tree.map(lambda _: P(env_axis), example.storage),
+            storage=jax.tree.map(lambda _: P(None, env_axis), example.storage),
             priorities=P(env_axis),
             max_priority=P(env_axis),
             cursor=P(env_axis),

@@ -5,25 +5,28 @@ Reference design: one numpy circular buffer on the host, overwrite-oldest via
 ``counter % size`` (replay_buffer.py:35-43), and a numba-jitted host sampler
 drawing uniform indices **with replacement** (replay_buffer.py:68-85).
 
-TPU-native design: a pytree of device arrays laid out ``(num_envs,
-capacity_per_env, ...)`` — a *per-env* ring.  All ``num_envs`` lockstep
-instances write their transition at the same slot each step, so the write is a
-single ``dynamic_update_slice`` on axis 1 (no scatter, no conflicts, fully
-fused into the jitted actor step).  Sampling draws (env, slot) pairs with
-``jax.random`` on device — with replacement, matching the reference sampler's
-semantics.  The leading ``num_envs`` axis is the mesh's "env" axis, so the
+TPU-native design: a pytree of device arrays laid out **slot-major** —
+``(capacity_per_env, num_envs, ...)`` — a per-env ring with the slot axis
+LEADING.  All ``num_envs`` lockstep instances write their transition at the
+same slot each step, so the write is a single ``dynamic_update_slice`` of one
+contiguous ``(1, num_envs, ...)`` row on axis 0 (no scatter, no conflicts,
+fully fused into the jitted actor step).  Sampling draws (env, slot) pairs
+with ``jax.random`` on device — with replacement, matching the reference
+sampler's semantics.  ``num_envs`` (axis 1) is the mesh's "env" axis, so the
 buffer shards with the envs and sampling stays shard-local.
 
-Layout rule (round 5, measured on the v5e): every storage leaf is kept
-RANK-3 — scalar fields (action/reward/terminated/truncated) are stored
-``(num_envs, capacity, 1)``, not ``(num_envs, capacity)``.  For rank-3
-leaves XLA's layout assignment picks ``{0,2,1}`` (env axis on the 128
-lanes), which serves BOTH the per-frame ring write and the sample-time
-gathers with zero conversions.  Rank-2 ``(N, C)`` leaves instead get
-``{1,0}`` for the write and ``{0,1}`` for the gathers, and XLA reconciles
-the two with per-frame 33 MB layout-conversion copies inside the training
-loop — measured ~800 µs/frame at the 131072-env cartpole headline, ~4×
-the cost of everything else in the frame combined.
+Why slot-major (round 5, measured on the v5e): with env-major
+``(num_envs, capacity, ...)`` leaves, the per-frame ring write updates a
+dynamic-offset COLUMN — which leaves XLA's layout assignment torn between
+the write's preferred layout and the sample-time gathers'.  Depending on
+the (N, C) shape it either picks a bad write layout (the write touches
+every 8-sublane tile of the leaf) or reconciles the two uses with
+per-frame layout-conversion copies of the whole ring inside the training
+loop.  Measured per-frame cost of the full write+sample replay block,
+env-major -> slot-major: 131072x64 envs/slots 755 us -> 90 us,
+4096x256 829 us -> 38 us, 1024x512 228 us -> 42 us.  Slot-major writes
+one contiguous row at a dynamic leading-axis offset — the one ring
+geometry XLA handles well at every shape family.
 """
 
 from __future__ import annotations
@@ -39,11 +42,11 @@ from deep_q_learning_tpu.envs.base import Transition
 class ReplayState:
     """Device-resident ring-buffer state.
 
-    ``storage`` leaves have shape ``(num_envs, capacity_per_env, ...)``.
-    ``cursor`` is the next write slot (shared by all envs — lockstep writes);
-    ``total_adds`` counts vector-steps written, so
-    ``filled = min(total_adds, capacity)`` (the reference's ``num_samples``,
-    replay_buffer.py:41-43).
+    ``storage`` leaves have shape ``(capacity_per_env, num_envs, ...)``
+    (slot-major — module docstring).  ``cursor`` is the next write slot
+    (shared by all envs — lockstep writes); ``total_adds`` counts
+    vector-steps written, so ``filled = min(total_adds, capacity)`` (the
+    reference's ``num_samples``, replay_buffer.py:41-43).
     """
 
     storage: Transition
@@ -52,11 +55,11 @@ class ReplayState:
 
     @property
     def capacity_per_env(self) -> int:
-        return self.storage.action.shape[1]
+        return self.storage.action.shape[0]
 
     @property
     def num_envs(self) -> int:
-        return self.storage.action.shape[0]
+        return self.storage.action.shape[1]
 
     @property
     def filled(self) -> jax.Array:
@@ -88,18 +91,17 @@ class UniformReplay:
 
     # ----------------------------------------------------------------- init
     def init(self, example: Transition) -> ReplayState:
-        """Allocate zeroed storage from one example batched transition
-        (leaves ``(num_envs, ...)``); only shapes/dtypes of leaves are used.
-        Scalar leaves get a trailing singleton axis (module layout rule)."""
+        """Allocate zeroed slot-major storage from one example batched
+        transition (leaves ``(num_envs, ...)``); only shapes/dtypes of
+        leaves are used."""
 
         def alloc(leaf: jax.Array) -> jax.Array:
             assert leaf.shape[0] == self.num_envs, (
                 f"example leaf must be batched (num_envs={self.num_envs}), "
                 f"got shape {leaf.shape}"
             )
-            feat = leaf.shape[1:] or (1,)
             return jnp.zeros(
-                (self.num_envs, self.capacity_per_env) + feat, leaf.dtype
+                (self.capacity_per_env,) + leaf.shape, leaf.dtype
             )
 
         storage = jax.tree.map(alloc, example)
@@ -111,13 +113,12 @@ class UniformReplay:
     def add(self, state: ReplayState, transition: Transition) -> ReplayState:
         """Write one vector-step of transitions (leaves ``(num_envs, ...)``)
         at the cursor slot; overwrite-oldest on wraparound (the reference's
-        ``counter % size``, replay_buffer.py:37-40)."""
+        ``counter % size``, replay_buffer.py:37-40).  Slot-major: one
+        contiguous row write per leaf on the leading axis."""
 
         def write(buf: jax.Array, item: jax.Array) -> jax.Array:
-            if item.ndim == 1:  # scalar field -> (N, 1) (module layout rule)
-                item = item[:, None]
             return jax.lax.dynamic_update_slice_in_dim(
-                buf, item[:, None], state.cursor, axis=1
+                buf, item[None], state.cursor, axis=0
             )
 
         storage = jax.tree.map(write, state.storage, transition)
@@ -136,16 +137,7 @@ class UniformReplay:
         slot_idx = jax.random.randint(
             slot_key, (batch_size,), 0, jnp.maximum(state.filled, 1)
         )
-        s = state.storage
-        take = lambda buf: buf[env_idx, slot_idx]
-        return Transition(  # scalar fields drop the layout-rule trailing axis
-            obs=take(s.obs),
-            action=take(s.action)[..., 0],
-            reward=take(s.reward)[..., 0],
-            next_obs=take(s.next_obs),
-            terminated=take(s.terminated)[..., 0],
-            truncated=take(s.truncated)[..., 0],
-        )
+        return jax.tree.map(lambda buf: buf[slot_idx, env_idx], state.storage)
 
     def can_sample(self, state: ReplayState, min_transitions: int) -> jax.Array:
         """True once at least ``min_transitions`` total transitions are stored
@@ -196,12 +188,13 @@ class UniformReplay:
 
     # -------------------------------------------------- mesh-sharding mapping
     def shard_specs(self, example: ReplayState, env_axis: str):
-        """PartitionSpec pytree: storage sharded on the env axis; scalar
-        counters get one slot per shard (see ``parallel/distributed.py``)."""
+        """PartitionSpec pytree: storage sharded on the env axis (axis 1 —
+        slot-major layout); scalar counters get one slot per shard (see
+        ``parallel/distributed.py``)."""
         from jax.sharding import PartitionSpec as P
 
         return ReplayState(
-            storage=jax.tree.map(lambda _: P(env_axis), example.storage),
+            storage=jax.tree.map(lambda _: P(None, env_axis), example.storage),
             cursor=P(env_axis),
             total_adds=P(env_axis),
         )

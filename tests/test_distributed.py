@@ -75,9 +75,9 @@ def test_env_state_is_sharded(mesh8):
     runner = init_runner(jax.random.PRNGKey(2))
     spec = runner.obs.sharding.spec
     assert spec == jax.sharding.PartitionSpec(ENV_AXIS)
-    # replay storage sharded on env axis too
+    # replay storage sharded on env axis too (slot-major: env axis is dim 1)
     spec_r = runner.replay.storage.obs.sharding.spec
-    assert spec_r[0] == ENV_AXIS
+    assert spec_r[1] == ENV_AXIS
     # shards hold DIFFERENT env states (different reset keys per shard)
     shards = [np.asarray(s.data) for s in runner.obs.addressable_shards]
     assert not np.allclose(shards[0], shards[1])

@@ -20,13 +20,13 @@ def _storage(rewards, terms, truncs, obs_val=None):
     slots = np.arange(c, dtype=np.float32)
     obs = np.stack([slots, np.zeros(c)], axis=1)
     next_obs = np.stack([slots + 0.5, np.zeros(c)], axis=1)
-    return Transition(  # scalar leaves carry the layout-rule trailing axis
-        obs=jnp.asarray(obs)[None],
-        action=jnp.zeros((1, c, 1), jnp.int32),
-        reward=jnp.asarray(rewards)[None, :, None],
-        next_obs=jnp.asarray(next_obs)[None],
-        terminated=jnp.asarray(terms)[None, :, None],
-        truncated=jnp.asarray(truncs)[None, :, None],
+    return Transition(  # slot-major storage: leaves (capacity, num_envs, ...)
+        obs=jnp.asarray(obs)[:, None],
+        action=jnp.zeros((c, 1), jnp.int32),
+        reward=jnp.asarray(rewards)[:, None],
+        next_obs=jnp.asarray(next_obs)[:, None],
+        terminated=jnp.asarray(terms)[:, None],
+        truncated=jnp.asarray(truncs)[:, None],
     )
 
 

@@ -48,7 +48,7 @@ def test_proportional_sampling():
     # batch contents must match the indexed storage
     np.testing.assert_array_equal(
         np.asarray(batch.reward), np.asarray(state.storage.reward)[
-            np.asarray(info.env_idx), np.asarray(info.slot_idx), 0
+            np.asarray(info.slot_idx), np.asarray(info.env_idx)
         ],
     )
 

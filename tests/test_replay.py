@@ -32,10 +32,10 @@ def test_add_and_wraparound():
     assert int(state.cursor) == 11 % 8
     assert int(state.filled) == 8
     # slot 0..2 were overwritten by steps 8..10; slots 3..7 hold steps 3..7
-    rewards = np.asarray(state.storage.reward)
+    rewards = np.asarray(state.storage.reward)  # slot-major (C, N)
     for slot in range(8):
         expect = slot + 8 if slot < 3 else slot
-        assert (rewards[:, slot] == expect).all()
+        assert (rewards[slot] == expect).all()
 
 
 def test_sample_returns_stored_transitions():
