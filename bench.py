@@ -7,9 +7,11 @@ Workload: BASELINE.json config 2 (CartPole vanilla DQN on vectorized pure-JAX
 envs) with the learner ON (train_every=1, batch 512): every counted env step
 comes from the full actor+replay+update superstep.  The instance count
 defaults to 131072 — measured single-chip sweep (artifacts/
-throughput_sweep.json): 4.1M steps/s at 4096 envs (dispatch-latency-bound
-over the remote tunnel), 48M at 16384, 64M at 65536, 70.7M at 131072 (the
-peak; 262144+ dips to ~60M, HBM-bound on env state + replay traffic).
+throughput_sweep.json, r5 slot-major refresh): 27.9M steps/s at 4096 envs,
+100M at 16384, 235M at 65536, 301M at 131072 (the peak; 262144 dips to
+~276M).  r1-r4's much lower curve (4.1M@4096, 71.8M@131072) was dominated
+by per-frame XLA layout-conversion copies of the replay ring — see the
+layout note in replay/uniform.py.
 
 ``vs_baseline`` compares against the 1M env-steps/s north-star aggregate
 target from BASELINE.json (the reference publishes no throughput numbers —
@@ -456,7 +458,7 @@ def main() -> None:
         warm = _timeboxed(num_envs, warm_budget, preset, mode="--warm")
         if warm is None and service_ok:  # one retry (stall/cold overrun)
             warm = _timeboxed(num_envs, warm_budget, preset, mode="--warm")
-        warm_diag[preset] = (
+        warm_diag[f"{preset}@{num_envs}"] = (
             {k: warm.get(k) for k in ("was_warm", "compile_s", "first_exec_s")}
             if warm is not None
             else {"warm_child": "timeout_or_failed", "budget_s": warm_budget}
@@ -482,6 +484,9 @@ def main() -> None:
 
     lunar = warm_then_measure(1024, "lunar")
     jointed = warm_then_measure(1024, "lunar_jointed")
+    # the fidelity engine at scale (r5: slot-major storage removed the old
+    # ~0.9M plateau — the Box2D-exact program now scales past 8M steps/s)
+    jointed4k = warm_then_measure(4096, "lunar_jointed")
 
     baseline = 1_000_000.0  # BASELINE.json north-star aggregate env-steps/s
     print(
@@ -504,6 +509,12 @@ def main() -> None:
                     round(jointed["value"]) if jointed is not None else None
                 ),
                 "lunar_jointed_aot_warm": jointed["aot_warm"] if jointed else None,
+                "lunar_jointed_4096envs_env_steps_per_s": (
+                    round(jointed4k["value"]) if jointed4k is not None else None
+                ),
+                "lunar_jointed_4096_aot_warm": (
+                    jointed4k["aot_warm"] if jointed4k else None
+                ),
                 "warm_diagnostics": warm_diag,
             }
         )

