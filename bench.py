@@ -263,7 +263,10 @@ def run_mesh_bench(n_shards: int, preset: str = "cartpole") -> dict:
         buffer_capacity=max(1 << 17, _MESH_ENVS_PER_SHARD * n_shards * 32),
     )
     init_runner, superstep, _ = build_distributed_superstep(cfg, mesh)
-    runner = jax.jit(init_runner)(jax.random.PRNGKey(0))  # jitted: eager init is minutes of small dispatches over the tunnel
+    # NOT jitted: the distributed init scatters per-shard keys host-side
+    # (numpy split), which is untraceable; it runs once and is cheap on the
+    # CPU mesh (the eager-init cost note applies to the single-chip path)
+    runner = init_runner(jax.random.PRNGKey(0))
     step = jax.jit(superstep, donate_argnums=0)
 
     for _ in range(3):  # compile + buffer fill
@@ -290,10 +293,17 @@ def run_mesh_bench(n_shards: int, preset: str = "cartpole") -> dict:
 
 
 def _mesh_probe() -> dict:
-    """Child: report the default backend and its device count."""
+    """Child: report the default backend and its device count.  When the
+    axon plugin is registration-disabled but still listed in jax_platforms
+    (PALLAS_AXON_POOL_IPS= in the parent env — CLAUDE.md), backend init
+    raises; report cpu so the sweep falls back to the virtual CPU mesh."""
     import jax
 
-    return {"backend": jax.default_backend(), "n_devices": len(jax.devices())}
+    try:
+        return {"backend": jax.default_backend(), "n_devices": len(jax.devices())}
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+        return {"backend": "cpu", "n_devices": len(jax.devices())}
 
 
 def _health_probe() -> dict:
