@@ -322,11 +322,11 @@ def lunar_jointed_per() -> DQNConfig:
     ``lunar_per`` recipe with the jointed 3-body physics.
 
     Solve-validated 3/3 seeds ON THE TPU v5e with this exact preset
-    (use_pallas=True, post one-hot-rewrite solver; artifacts/
-    lunar_jointed_solve.json, r5): windows 207.5/200.2/208.3 at 3.0-3.8M
-    env steps in 19-22s wall each, TRUE greedy evals 184.2/212.2/227.9.
-    (r4's CPU-backend 3/3 run under a service outage measured the same
-    band: windows 204-234 at 2.9-4.1M.)  Notably the faithful joint
+    (use_pallas=True, slot-major replay storage; artifacts/
+    lunar_jointed_solve.json, r5 final): windows 213.5/201.0/201.4 at
+    2.9-3.6M env steps in 15-19s wall each, TRUE greedy evals
+    230.5/213.5/201.2.  (r4's CPU-backend 3/3 run under a service outage
+    measured the same band: windows 204-234 at 2.9-4.1M.)  Notably the faithful joint
     dynamics solve ~7x FASTER in env steps than the same recipe on the
     rigid engine (29.5M): leg-joint compliance smooths the touchdown
     reward landscape."""
