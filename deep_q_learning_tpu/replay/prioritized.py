@@ -25,12 +25,16 @@ import jax.numpy as jnp
 from flax import struct
 
 from deep_q_learning_tpu.envs.base import Transition
-from deep_q_learning_tpu.replay.uniform import ReplayState
+from deep_q_learning_tpu.replay.uniform import (  # noqa: F401
+    ReplayState,
+    RingStorage,
+    pack_aux,
+)
 
 
 @struct.dataclass
 class PrioritizedReplayState:
-    storage: Transition  # slot-major leaves (C, N, ...) — see replay/uniform.py
+    storage: RingStorage  # slot-major packed leaves — see replay/uniform.py
     priorities: jax.Array  # (N, C) f32, already exponentiated by alpha
     max_priority: jax.Array  # scalar f32 (pre-alpha magnitude)
     cursor: jax.Array
@@ -38,11 +42,11 @@ class PrioritizedReplayState:
 
     @property
     def capacity_per_env(self) -> int:
-        return self.storage.action.shape[0]
+        return self.storage.aux.shape[0]
 
     @property
     def num_envs(self) -> int:
-        return self.storage.action.shape[1]
+        return self.storage.aux.shape[1]
 
     @property
     def filled(self) -> jax.Array:
@@ -88,18 +92,26 @@ class PrioritizedReplay:
 
     # ----------------------------------------------------------------- init
     def init(self, example: Transition) -> PrioritizedReplayState:
-        # slot-major storage — see the layout note in replay/uniform.py.
+        # slot-major packed storage — see the layout note in replay/uniform.py.
         # priorities stay env-major (N, C): they are reduced/cumsum'd along
         # the slot axis at sample time (and the Pallas sampling kernel's
         # operand contract is (N, C)); their per-frame column write is tiny.
+        assert example.obs.shape[0] == self.num_envs
+
         def alloc(leaf):
-            assert leaf.shape[0] == self.num_envs
             return jnp.zeros(
                 (self.capacity_per_env,) + leaf.shape, leaf.dtype
             )
 
+        storage = RingStorage(
+            obs=alloc(example.obs),
+            next_obs=alloc(example.next_obs),
+            aux=jnp.zeros(
+                (self.capacity_per_env, self.num_envs, 4), jnp.float32
+            ),
+        )
         return PrioritizedReplayState(
-            storage=jax.tree.map(alloc, example),
+            storage=storage,
             priorities=jnp.zeros((self.num_envs, self.capacity_per_env), jnp.float32),
             max_priority=jnp.float32(1.0),
             cursor=jnp.int32(0),
@@ -115,7 +127,11 @@ class PrioritizedReplay:
                 buf, item[None], state.cursor, axis=0
             )
 
-        storage = jax.tree.map(write, state.storage, transition)
+        storage = RingStorage(
+            obs=write(state.storage.obs, transition.obs),
+            next_obs=write(state.storage.next_obs, transition.next_obs),
+            aux=write(state.storage.aux, pack_aux(transition)),
+        )
         # new transitions enter at max priority (standard PER)
         new_p = jnp.full((self.num_envs, 1), state.max_priority**self.alpha)
         priorities = jax.lax.dynamic_update_slice_in_dim(

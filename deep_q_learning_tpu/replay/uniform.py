@@ -38,6 +38,55 @@ from flax import struct
 from deep_q_learning_tpu.envs.base import Transition
 
 
+# packed-aux lane indices (RingStorage.aux trailing axis)
+AUX_REWARD, AUX_ACTION, AUX_TERM, AUX_TRUNC = 0, 1, 2, 3
+
+
+@struct.dataclass
+class RingStorage:
+    """Slot-major transition storage.
+
+    ``obs``/``next_obs`` keep their dtype/feature shape; the four scalar
+    fields (reward, action, terminated, truncated) are PACKED into one
+    float32 ``aux`` lane axis.  Rationale (round 5, measured on the v5e):
+    TPU batched gathers cost per ROW fetched, nearly independent of the
+    row width up to ~8 lanes — at the 4096-batch lunar shape one packed
+    (B, n, 4) window gather costs ~100 us where the four separate scalar
+    gathers cost ~340 us, and the n-step assembler reuses the window's
+    first column for the start-transition action, eliminating a fourth
+    gather entirely.  Packing is exact: actions are small ints (f32-exact
+    to 2^24) and the flags are 0/1.
+    """
+
+    obs: jax.Array  # (C, N, *obs_shape)
+    next_obs: jax.Array  # (C, N, *obs_shape)
+    aux: jax.Array  # (C, N, 4) f32: [reward, action, terminated, truncated]
+
+
+def pack_aux(transition: Transition) -> jax.Array:
+    """(N, 4) f32 packed scalar lane for one vector-step."""
+    return jnp.stack(
+        [
+            transition.reward.astype(jnp.float32),
+            transition.action.astype(jnp.float32),
+            transition.terminated.astype(jnp.float32),
+            transition.truncated.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
+def unpack_aux(aux: jax.Array) -> tuple:
+    """(reward f32, action i32, terminated bool, truncated bool) from a
+    gathered ``(..., 4)`` aux block."""
+    return (
+        aux[..., AUX_REWARD],
+        aux[..., AUX_ACTION].astype(jnp.int32),
+        aux[..., AUX_TERM] > 0.5,
+        aux[..., AUX_TRUNC] > 0.5,
+    )
+
+
 @struct.dataclass
 class ReplayState:
     """Device-resident ring-buffer state.
@@ -49,17 +98,17 @@ class ReplayState:
     reference's ``num_samples``, replay_buffer.py:41-43).
     """
 
-    storage: Transition
+    storage: RingStorage
     cursor: jax.Array  # int32 scalar
     total_adds: jax.Array  # int32 scalar
 
     @property
     def capacity_per_env(self) -> int:
-        return self.storage.action.shape[0]
+        return self.storage.aux.shape[0]
 
     @property
     def num_envs(self) -> int:
-        return self.storage.action.shape[1]
+        return self.storage.aux.shape[1]
 
     @property
     def filled(self) -> jax.Array:
@@ -91,20 +140,24 @@ class UniformReplay:
 
     # ----------------------------------------------------------------- init
     def init(self, example: Transition) -> ReplayState:
-        """Allocate zeroed slot-major storage from one example batched
-        transition (leaves ``(num_envs, ...)``); only shapes/dtypes of
-        leaves are used."""
+        """Allocate zeroed slot-major packed storage from one example
+        batched transition (leaves ``(num_envs, ...)``); only
+        shapes/dtypes of leaves are used."""
+        assert example.obs.shape[0] == self.num_envs, (
+            f"example leaves must be batched (num_envs={self.num_envs}), "
+            f"got obs shape {example.obs.shape}"
+        )
 
         def alloc(leaf: jax.Array) -> jax.Array:
-            assert leaf.shape[0] == self.num_envs, (
-                f"example leaf must be batched (num_envs={self.num_envs}), "
-                f"got shape {leaf.shape}"
-            )
-            return jnp.zeros(
-                (self.capacity_per_env,) + leaf.shape, leaf.dtype
-            )
+            return jnp.zeros((self.capacity_per_env,) + leaf.shape, leaf.dtype)
 
-        storage = jax.tree.map(alloc, example)
+        storage = RingStorage(
+            obs=alloc(example.obs),
+            next_obs=alloc(example.next_obs),
+            aux=jnp.zeros(
+                (self.capacity_per_env, self.num_envs, 4), jnp.float32
+            ),
+        )
         return ReplayState(
             storage=storage, cursor=jnp.int32(0), total_adds=jnp.int32(0)
         )
@@ -121,7 +174,11 @@ class UniformReplay:
                 buf, item[None], state.cursor, axis=0
             )
 
-        storage = jax.tree.map(write, state.storage, transition)
+        storage = RingStorage(
+            obs=write(state.storage.obs, transition.obs),
+            next_obs=write(state.storage.next_obs, transition.next_obs),
+            aux=write(state.storage.aux, pack_aux(transition)),
+        )
         return ReplayState(
             storage=storage,
             cursor=(state.cursor + 1) % self.capacity_per_env,
@@ -137,7 +194,16 @@ class UniformReplay:
         slot_idx = jax.random.randint(
             slot_key, (batch_size,), 0, jnp.maximum(state.filled, 1)
         )
-        return jax.tree.map(lambda buf: buf[slot_idx, env_idx], state.storage)
+        s = state.storage
+        reward, action, term, trunc = unpack_aux(s.aux[slot_idx, env_idx])
+        return Transition(
+            obs=s.obs[slot_idx, env_idx],
+            action=action,
+            reward=reward,
+            next_obs=s.next_obs[slot_idx, env_idx],
+            terminated=term,
+            truncated=trunc,
+        )
 
     def can_sample(self, state: ReplayState, min_transitions: int) -> jax.Array:
         """True once at least ``min_transitions`` total transitions are stored

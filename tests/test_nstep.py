@@ -20,13 +20,16 @@ def _storage(rewards, terms, truncs, obs_val=None):
     slots = np.arange(c, dtype=np.float32)
     obs = np.stack([slots, np.zeros(c)], axis=1)
     next_obs = np.stack([slots + 0.5, np.zeros(c)], axis=1)
-    return Transition(  # slot-major storage: leaves (capacity, num_envs, ...)
+    from deep_q_learning_tpu.replay.uniform import RingStorage
+
+    aux = np.stack(  # packed lanes: [reward, action, term, trunc]
+        [rewards, np.zeros(c), terms.astype(np.float32),
+         truncs.astype(np.float32)], axis=1,
+    ).astype(np.float32)
+    return RingStorage(  # slot-major: leaves (capacity, num_envs, ...)
         obs=jnp.asarray(obs)[:, None],
-        action=jnp.zeros((c, 1), jnp.int32),
-        reward=jnp.asarray(rewards)[:, None],
         next_obs=jnp.asarray(next_obs)[:, None],
-        terminated=jnp.asarray(terms)[:, None],
-        truncated=jnp.asarray(truncs)[:, None],
+        aux=jnp.asarray(aux)[:, None],
     )
 
 

@@ -47,8 +47,8 @@ def test_proportional_sampling():
     assert 0.45 < frac < 0.60, f"expected ~8/15 mass, got {frac}"
     # batch contents must match the indexed storage
     np.testing.assert_array_equal(
-        np.asarray(batch.reward), np.asarray(state.storage.reward)[
-            np.asarray(info.slot_idx), np.asarray(info.env_idx)
+        np.asarray(batch.reward), np.asarray(state.storage.aux)[
+            np.asarray(info.slot_idx), np.asarray(info.env_idx), 0
         ],
     )
 

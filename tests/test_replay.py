@@ -32,7 +32,9 @@ def test_add_and_wraparound():
     assert int(state.cursor) == 11 % 8
     assert int(state.filled) == 8
     # slot 0..2 were overwritten by steps 8..10; slots 3..7 hold steps 3..7
-    rewards = np.asarray(state.storage.reward)  # slot-major (C, N)
+    from deep_q_learning_tpu.replay.uniform import AUX_REWARD
+
+    rewards = np.asarray(state.storage.aux[..., AUX_REWARD])  # (C, N)
     for slot in range(8):
         expect = slot + 8 if slot < 3 else slot
         assert (rewards[slot] == expect).all()
