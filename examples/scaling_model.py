@@ -99,14 +99,14 @@ def main() -> None:
 
     configs = [
         # measured single-chip numbers: r5 post-slot-major-storage runs
-        # (layout-copy elimination commit; warm bench.py --inner values)
+        # (final r5: slot-major + packed-aux storage; warm bench --inner values)
         ("cartpole@131072/shard",
          dataclasses.replace(cartpole_vector(), num_envs=131072),
-         296_997_374.0, 131072),
+         344_130_418.0, 131072),
         ("lunar_per_scaled@1024/shard", lunar_per_scaled(1024),
-         8_132_375.0, 1024),
+         10_548_520.0, 1024),
         ("lunar_jointed_scaled@1024/shard", lunar_jointed_scaled(1024),
-         4_533_173.0, 1024),
+         5_493_668.0, 1024),
     ]
     out = {
         "metric": "predicted_weak_scaling_efficiency",
@@ -121,9 +121,9 @@ def main() -> None:
             "shared-core LOWER bound on program correctness, not hardware "
             "efficiency; this model is the hardware prediction",
             "prediction: >=80% efficiency holds through N=16 with >=45 GB/s "
-            "ICI for every headline config — worst case 92.4% (the r5 "
-            "storage-layout speedups cut per-shard compute ~4x, so the comm "
-            "share grew vs r4's 97.6%, still clearing the target with margin)",
+            "ICI for every headline config — worst case 91.2% (the r5 "
+            "storage speedups cut per-shard compute ~5x, so the comm share "
+            "grew vs r4's 97.6%, still clearing the target with margin)",
         ],
         "configs": [model_for(*c) for c in configs],
     }
