@@ -79,6 +79,15 @@ def build_population(
         venv, env_params, network, make_optimizer(cfg), make_replay(cfg), cfg
     )
 
+    # Population throughput note (round 5, measured): at the lunar_per
+    # member shape (128 envs) the program is small-op-overhead-bound, so
+    # aggregate steps/s is nearly FLAT in member count (~550k @1 member,
+    # ~450-480k @10) — the same band as round 4.  Re-batching the ring
+    # storage on member axis 1 (to keep the slot axis leading, as the
+    # single-runner slot-major layout wants) measured no improvement, so
+    # the batching stays plain axis-0.  For throughput-bound sweeps prefer
+    # fewer members x more envs; populations buy COMPILE sharing and
+    # concurrent search, not aggregate frame rate.
     def init_population(key: jax.Array):
         return jax.vmap(init_runner)(jax.random.split(key, num_members))
 
