@@ -139,6 +139,15 @@ def _timeboxed(num_envs: int, budget: int, preset: str = "cartpole", mode: str =
     """Run one measurement in a time-boxed child (remote-compile variance
     must not blow the caller's budget; the on-disk executable cache makes
     reruns immune to it).  Returns the child's info dict or None."""
+    # Benchmark PRNG: the hardware rbg generator (DQL_PRNG=rbg, package
+    # __init__) is the throughput configuration — threefry's software cipher
+    # costs ~70 us/frame at the 131072-env headline (344M -> 417M steps/s).
+    # Training still solves under it (lunar_per 209 @5.4M steps, jointed
+    # 212 @3.8M, validated on the chip); the library DEFAULT stays threefry
+    # for stream compatibility.  Must be in the child env before interpreter
+    # start; caller's explicit DQL_PRNG wins.
+    env = dict(os.environ)
+    env.setdefault("DQL_PRNG", "rbg")
     try:
         out = subprocess.run(
             [
@@ -151,6 +160,7 @@ def _timeboxed(num_envs: int, budget: int, preset: str = "cartpole", mode: str =
             capture_output=True,
             text=True,
             timeout=budget,
+            env=env,
         )
         for line in out.stdout.splitlines():
             if line.startswith("{"):
